@@ -1,0 +1,213 @@
+"""CM31 and QM31 (secure field) arithmetic, TPU-native.
+
+QM31 is the degree-4 extension of M31 used for interaction (LogUp) columns and
+all verifier randomness, mirroring the reference's ``SecureField``
+(crates/brainfuck_prover/src/components/mod.rs:15).
+
+Tower: CM31 = M31[i]/(i^2 + 1), QM31 = CM31[u]/(u^2 - (2 + i)).
+
+Layout: a QM31 array is a uint32 array of shape ``(4, ...)`` — the *leading*
+axis holds the 4 coordinates (re0, im0, re1, im1) so that the trailing axes
+stay large and lane-aligned on TPU (a trailing 4 would waste the 128-wide
+vector lanes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import m31
+from .m31 import P
+
+EXTENSION_DEGREE = 4
+
+# u^2 = R0 + R1*i
+_R0 = np.uint32(2)
+_R1 = np.uint32(1)
+
+
+def from_m31(x) -> jnp.ndarray:
+    """Embed an M31 array into QM31 (shape (4, ...))."""
+    x = jnp.asarray(x, jnp.uint32)
+    z = jnp.zeros_like(x)
+    return jnp.stack([x, z, z, z])
+
+
+def from_ints(a: int, b: int, c: int, d: int) -> jnp.ndarray:
+    return jnp.array([a, b, c, d], jnp.uint32)
+
+
+def zero(shape=()) -> jnp.ndarray:
+    return jnp.zeros((4,) + tuple(shape), jnp.uint32)
+
+
+def one(shape=()) -> jnp.ndarray:
+    o = jnp.ones(tuple(shape), jnp.uint32)
+    z = jnp.zeros(tuple(shape), jnp.uint32)
+    return jnp.stack([o, z, z, z])
+
+
+def add(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return m31.add(x, y)
+
+
+def sub(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return m31.add(x, m31.neg(y))
+
+
+def neg(x: jnp.ndarray) -> jnp.ndarray:
+    return m31.neg(x)
+
+
+def _cm_mul(ar, ai, br, bi):
+    """CM31 product: (ar + ai·i)(br + bi·i)."""
+    rr = m31.sub(m31.mul(ar, br), m31.mul(ai, bi))
+    ri = m31.add(m31.mul(ar, bi), m31.mul(ai, br))
+    return rr, ri
+
+
+def mul(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """QM31 product. (A + Bu)(C + Du) = AC + (2+i)BD + (AD + BC)u."""
+    a_r, a_i, b_r, b_i = x[0], x[1], x[2], x[3]
+    c_r, c_i, d_r, d_i = y[0], y[1], y[2], y[3]
+
+    ac_r, ac_i = _cm_mul(a_r, a_i, c_r, c_i)
+    bd_r, bd_i = _cm_mul(b_r, b_i, d_r, d_i)
+    ad_r, ad_i = _cm_mul(a_r, a_i, d_r, d_i)
+    bc_r, bc_i = _cm_mul(b_r, b_i, c_r, c_i)
+
+    # (2+i)·BD = (2·bd_r - bd_i) + (bd_r + 2·bd_i) i
+    rbd_r = m31.sub(m31.add(bd_r, bd_r), bd_i)
+    rbd_i = m31.add(bd_r, m31.add(bd_i, bd_i))
+
+    out0 = m31.add(ac_r, rbd_r)
+    out1 = m31.add(ac_i, rbd_i)
+    out2 = m31.add(ad_r, bc_r)
+    out3 = m31.add(ad_i, bc_i)
+    return jnp.stack([out0, out1, out2, out3])
+
+
+def mul_m31(x: jnp.ndarray, s) -> jnp.ndarray:
+    """QM31 × M31 scalar/array (broadcast over the 4 coordinates)."""
+    s = jnp.asarray(s, jnp.uint32)
+    s = jnp.broadcast_to(s, x.shape[1:])
+    return m31.mul(x, s[None])
+
+
+def _cm_inv(ar, ai):
+    """CM31 inverse via conjugate / norm."""
+    norm = m31.add(m31.mul(ar, ar), m31.mul(ai, ai))
+    ninv = m31.inv(norm)
+    return m31.mul(ar, ninv), m31.mul(m31.neg(ai), ninv)
+
+
+def inv(x: jnp.ndarray) -> jnp.ndarray:
+    """QM31 inverse: (A + Bu)^-1 = (A - Bu) / (A^2 - (2+i) B^2)."""
+    a_r, a_i, b_r, b_i = x[0], x[1], x[2], x[3]
+    a2_r, a2_i = _cm_mul(a_r, a_i, a_r, a_i)
+    b2_r, b2_i = _cm_mul(b_r, b_i, b_r, b_i)
+    # (2+i)·B^2
+    rb2_r = m31.sub(m31.add(b2_r, b2_r), b2_i)
+    rb2_i = m31.add(b2_r, m31.add(b2_i, b2_i))
+    den_r = m31.sub(a2_r, rb2_r)
+    den_i = m31.sub(a2_i, rb2_i)
+    di_r, di_i = _cm_inv(den_r, den_i)
+    out0, out1 = _cm_mul(a_r, a_i, di_r, di_i)
+    nb_r, nb_i = m31.neg(b_r), m31.neg(b_i)
+    out2, out3 = _cm_mul(nb_r, nb_i, di_r, di_i)
+    return jnp.stack([out0, out1, out2, out3])
+
+
+def pow_const(x: jnp.ndarray, e: int) -> jnp.ndarray:
+    result = None
+    base = x
+    while e > 0:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        base = mul(base, base)
+        e >>= 1
+    if result is None:
+        return one(x.shape[1:])
+    return result
+
+
+def dot_m31(coeffs: jnp.ndarray, values) -> jnp.ndarray:
+    """Σ_k coeffs[k] · values[k] for QM31 coeffs (shape (K, 4)) and a list of
+    K M31 arrays of a common shape — the LogUp `combine` primitive."""
+    acc = None
+    for k, v in enumerate(values):
+        v = jnp.asarray(v, jnp.uint32)
+        c = jnp.reshape(coeffs[k], (4,) + (1,) * v.ndim)
+        term = m31.mul(c, v[None])
+        acc = term if acc is None else add(acc, term)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers (python ints / numpy) for the channel and verifier.
+# A host QM31 value is a tuple (a, b, c, d) of python ints < P.
+# ---------------------------------------------------------------------------
+
+P_INT = int(P)
+
+
+def h_add(x, y):
+    return tuple((a + b) % P_INT for a, b in zip(x, y))
+
+
+def h_neg(x):
+    return tuple((P_INT - a) % P_INT for a in x)
+
+
+def h_sub(x, y):
+    return h_add(x, h_neg(y))
+
+
+def _h_cm_mul(a, b):
+    return ((a[0] * b[0] - a[1] * b[1]) % P_INT, (a[0] * b[1] + a[1] * b[0]) % P_INT)
+
+
+def h_mul(x, y):
+    A, B = (x[0], x[1]), (x[2], x[3])
+    C, D = (y[0], y[1]), (y[2], y[3])
+    ac = _h_cm_mul(A, C)
+    bd = _h_cm_mul(B, D)
+    ad = _h_cm_mul(A, D)
+    bc = _h_cm_mul(B, C)
+    rbd = ((2 * bd[0] - bd[1]) % P_INT, (bd[0] + 2 * bd[1]) % P_INT)
+    return ((ac[0] + rbd[0]) % P_INT, (ac[1] + rbd[1]) % P_INT,
+            (ad[0] + bc[0]) % P_INT, (ad[1] + bc[1]) % P_INT)
+
+
+def _h_cm_inv(a):
+    norm = (a[0] * a[0] + a[1] * a[1]) % P_INT
+    ni = pow(norm, P_INT - 2, P_INT)
+    return ((a[0] * ni) % P_INT, ((P_INT - a[1]) * ni) % P_INT)
+
+
+def h_inv(x):
+    A, B = (x[0], x[1]), (x[2], x[3])
+    a2 = _h_cm_mul(A, A)
+    b2 = _h_cm_mul(B, B)
+    rb2 = ((2 * b2[0] - b2[1]) % P_INT, (b2[0] + 2 * b2[1]) % P_INT)
+    den = ((a2[0] - rb2[0]) % P_INT, (a2[1] - rb2[1]) % P_INT)
+    di = _h_cm_inv(den)
+    o01 = _h_cm_mul(A, di)
+    o23 = _h_cm_mul(((P_INT - B[0]) % P_INT, (P_INT - B[1]) % P_INT), di)
+    return (o01[0], o01[1], o23[0], o23[1])
+
+
+def h_pow(x, e: int):
+    result = (1, 0, 0, 0)
+    base = x
+    while e > 0:
+        if e & 1:
+            result = h_mul(result, base)
+        base = h_mul(base, base)
+        e >>= 1
+    return result
+
+
+ZERO = (0, 0, 0, 0)
+ONE = (1, 0, 0, 0)
