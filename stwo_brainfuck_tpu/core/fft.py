@@ -1,0 +1,149 @@
+"""Circle FFT (CFFT): interpolation and evaluation of circle polynomials on
+canonic circle domains, fully vectorized for TPU (jax.numpy on uint32 M31).
+
+TPU-native replacement for stwo's ``PolyOps`` / ``precompute_twiddles``
+(reference usage: crates/brainfuck_prover/src/brainfuck_air/mod.rs:480-484,
+CircleEvaluation construction in every table builder).
+
+Layout: evaluations are stored in BIT-REVERSED order of the domain's natural
+order [half_coset, -half_coset]. Consequences used throughout:
+- positions (2m, 2m+1) hold f(p_m), f(-p_m) — the stage-0 (y) butterfly and
+  the first FRI fold touch adjacent lanes;
+- stage L >= 1 butterflies pair positions at stride 2^L with per-block
+  twiddles pi^(L-1)(x) in bit-reversed block order.
+
+Basis (circle-FFT basis): coefficient j (bits j0..j_{n-1}) multiplies
+    y^{j0} * x^{j1} * pi(x)^{j2} * ... * pi^{n-2}(x)^{j_{n-1}},
+with pi(x) = 2x^2 - 1. The basis is nested across sizes, so zero-padding
+coefficients and running a larger evaluate() performs low-degree extension
+(the blowup used for commitments and FRI).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import m31
+from .circle import CanonicCoset, points_at_indices
+
+P_INT = m31.P_INT
+
+
+def bit_reverse_indices(log_size: int) -> np.ndarray:
+    """Permutation array: out[i] = bitrev(i, log_size)."""
+    n = 1 << log_size
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for b in range(log_size):
+        rev |= ((idx >> b) & 1) << (log_size - 1 - b)
+    return rev
+
+
+def bit_reverse(values: np.ndarray | jnp.ndarray, axis: int = -1):
+    """Permute an array into/out of bit-reversed order along `axis`
+    (involution)."""
+    n = values.shape[axis]
+    perm = bit_reverse_indices(int(n).bit_length() - 1)
+    return jnp.take(values, jnp.asarray(perm), axis=axis)
+
+
+def _pi(x: np.ndarray) -> np.ndarray:
+    """pi(x) = 2x^2 - 1 (host, uint64)."""
+    x = np.asarray(x, np.uint64)
+    return ((2 * x * x + (P_INT - 1)) % P_INT).astype(np.uint64)
+
+
+@dataclass(frozen=True)
+class Twiddles:
+    """Per-domain twiddle stack (device arrays, bit-reversed block order).
+
+    fwd[L] has length 2^(log_size-1-L):
+      L = 0: y(p) of the half coset; L >= 1: pi^(L-1)(x(p)).
+    inv[L] = fwd[L]^-1 (the interpolation butterfly divides by the twiddle;
+    the global 1/2^log_size normalization is applied once at the end).
+    """
+
+    log_size: int
+    fwd: tuple
+    inv: tuple
+
+
+@lru_cache(maxsize=32)
+def get_twiddles(log_size: int) -> Twiddles:
+    """Precompute twiddles for the canonic domain of size 2^log_size."""
+    assert log_size >= 1
+    half = CanonicCoset(log_size).circle_domain().half_coset
+    hx, hy = points_at_indices(half.indices())
+    fwd: List[np.ndarray] = []
+    # Stage 0: y twiddles over the half coset, block order bit-reversed.
+    rev = bit_reverse_indices(log_size - 1) if log_size > 1 else np.array([0], np.uint32)
+    fwd.append(hy[rev].astype(np.uint32))
+    # Stage L >= 1 twiddles: pi^(L-1)(x(half.at(k))) for k < 2^(n-1-L),
+    # in bit-reversed block order.
+    x = hx.astype(np.uint64)
+    for L in range(1, log_size):
+        cnt = 1 << (log_size - 1 - L)
+        r = bit_reverse_indices(log_size - 1 - L) if cnt > 1 else np.array([0], np.uint32)
+        fwd.append(x[:cnt][r].astype(np.uint32))
+        x = _pi(x)
+    inv = tuple(m31.np_inv(t) for t in fwd)
+    return Twiddles(
+        log_size,
+        tuple(jnp.asarray(t) for t in fwd),
+        tuple(jnp.asarray(t) for t in inv),
+    )
+
+
+def interpolate(values: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
+    """Circle evaluation (bit-reversed order, length 2^n) -> coefficients
+    (natural order). Inverse of evaluate() on the same-size domain."""
+    n = int(values.shape[-1]).bit_length() - 1 if log_size is None else log_size
+    tw = get_twiddles(n)
+    v = values
+    for L in range(n):
+        blocks = 1 << (n - 1 - L)
+        v = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
+        a = v[..., 0, :]
+        b = v[..., 1, :]
+        t_inv = tw.inv[L].reshape((blocks, 1))
+        s = m31.add(a, b)
+        d = m31.mul(m31.sub(a, b), t_inv)
+        v = jnp.stack([s, d], axis=-2).reshape(v.shape[:-3] + (1 << n,))
+    # Global normalization 1/2^n mod p.
+    scale = jnp.uint32(pow((P_INT + 1) // 2, n, P_INT))
+    return m31.mul(v, scale)
+
+
+def evaluate(coeffs: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
+    """Coefficients (natural order, length 2^m, zero-padded by the caller for
+    blowup) -> circle evaluation on the canonic domain of size 2^n in
+    bit-reversed order. n defaults to len(coeffs)."""
+    n = int(coeffs.shape[-1]).bit_length() - 1 if log_size is None else log_size
+    tw = get_twiddles(n)
+    v = coeffs
+    for L in reversed(range(n)):
+        blocks = 1 << (n - 1 - L)
+        v = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
+        a = v[..., 0, :]
+        b = v[..., 1, :]
+        t = tw.fwd[L].reshape((blocks, 1))
+        tb = m31.mul(b, t)
+        u0 = m31.add(a, tb)
+        u1 = m31.sub(a, tb)
+        v = jnp.stack([u0, u1], axis=-2).reshape(v.shape[:-3] + (1 << n,))
+    return v
+
+
+def extend(values: jnp.ndarray, log_blowup: int) -> jnp.ndarray:
+    """Low-degree extension: evaluation on domain 2^n (bit-reversed) ->
+    evaluation on domain 2^(n+log_blowup) (bit-reversed)."""
+    n = int(values.shape[-1]).bit_length() - 1
+    coeffs = interpolate(values, n)
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, (1 << (n + log_blowup)) - (1 << n))]
+    coeffs = jnp.pad(coeffs, pad)
+    return evaluate(coeffs, n + log_blowup)

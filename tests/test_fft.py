@@ -1,0 +1,125 @@
+"""CFFT tests: generator/domain structure, naive-basis cross-check,
+interpolate/evaluate roundtrip, low-degree extension."""
+
+import numpy as np
+import pytest
+
+from stwo_brainfuck_tpu.core import fft, m31
+from stwo_brainfuck_tpu.core.circle import (
+    M31_CIRCLE_GEN,
+    CanonicCoset,
+    point_add,
+    point_at_index,
+    point_double,
+    points_at_indices,
+)
+from stwo_brainfuck_tpu.core.m31 import P_INT
+
+RNG = np.random.default_rng(1)
+
+
+def test_generator_order():
+    assert (M31_CIRCLE_GEN[0] ** 2 + M31_CIRCLE_GEN[1] ** 2) % P_INT == 1
+    q = M31_CIRCLE_GEN
+    for _ in range(30):
+        q = point_double(q)
+    assert q == (P_INT - 1, 0)  # order exactly 2^31
+
+
+def test_point_at_index():
+    assert point_at_index(0) == (1, 0)
+    assert point_at_index(1) == M31_CIRCLE_GEN
+    assert point_at_index(2) == point_double(M31_CIRCLE_GEN)
+    assert point_at_index(3) == point_add(point_double(M31_CIRCLE_GEN), M31_CIRCLE_GEN)
+    x, y = points_at_indices(np.array([0, 1, 2, 5]))
+    assert (x[0], y[0]) == (1, 0)
+    assert (x[1], y[1]) == M31_CIRCLE_GEN
+    assert (x[3], y[3]) == point_at_index(5)
+
+
+def test_domain_structure():
+    n = 5
+    dom = CanonicCoset(n).circle_domain()
+    assert dom.size == 32
+    xs, ys = dom.points()
+    # all points on the circle
+    assert np.all((xs.astype(np.uint64) ** 2 + ys.astype(np.uint64) ** 2) % P_INT == 1)
+    # second half is the conjugate of the first half
+    half = dom.size // 2
+    np.testing.assert_array_equal(xs[:half], xs[half:])
+    np.testing.assert_array_equal((P_INT - ys[:half]) % P_INT, ys[half:])
+    # all 32 points distinct
+    assert len({(int(x), int(y)) for x, y in zip(xs, ys)}) == 32
+    # bit-reversed adjacency: positions 2m, 2m+1 are p, -p
+    rev = fft.bit_reverse_indices(n)
+    bx, by = xs[rev], ys[rev]
+    np.testing.assert_array_equal(bx[0::2], bx[1::2])
+    np.testing.assert_array_equal((P_INT - by[0::2]) % P_INT, by[1::2])
+
+
+def naive_basis_eval(coeffs, log_size):
+    """Evaluate sum_j c_j * y^{j0} x^{j1} pi(x)^{j2} ... at every domain point
+    (natural order) with python ints."""
+    dom = CanonicCoset(log_size).circle_domain()
+    out = []
+    for i in range(dom.size):
+        x, y = dom.at(i)
+        # basis factor per bit
+        factors = [y]
+        cur = x
+        for _ in range(log_size - 1):
+            factors.append(cur)
+            cur = (2 * cur * cur - 1) % P_INT
+        acc = 0
+        for j, c in enumerate(coeffs):
+            term = int(c)
+            for b in range(log_size):
+                if (j >> b) & 1:
+                    term = term * factors[b] % P_INT
+            acc = (acc + term) % P_INT
+        out.append(acc)
+    return np.array(out, np.uint32)
+
+
+@pytest.mark.parametrize("log_size", [1, 2, 3, 4, 6])
+def test_evaluate_matches_naive_basis(log_size):
+    n = 1 << log_size
+    coeffs = RNG.integers(0, P_INT, size=n, dtype=np.uint32)
+    vals = np.asarray(fft.evaluate(coeffs, log_size))
+    naive = naive_basis_eval(coeffs, log_size)
+    rev = fft.bit_reverse_indices(log_size)
+    # vals is bit-reversed: vals[j] = f(domain.at(bitrev(j)))
+    np.testing.assert_array_equal(vals, naive[rev])
+
+
+@pytest.mark.parametrize("log_size", [1, 3, 5, 8, 10])
+def test_roundtrip(log_size):
+    n = 1 << log_size
+    vals = RNG.integers(0, P_INT, size=n, dtype=np.uint32)
+    coeffs = fft.interpolate(vals, log_size)
+    back = np.asarray(fft.evaluate(coeffs, log_size))
+    np.testing.assert_array_equal(back, vals)
+
+
+def test_extend_is_low_degree():
+    log_size, blowup = 4, 2
+    n = 1 << log_size
+    coeffs = RNG.integers(0, P_INT, size=n, dtype=np.uint32)
+    small = fft.evaluate(coeffs, log_size)
+    big = np.asarray(fft.extend(small, blowup))
+    # extension = evaluating zero-padded coefficients on the big domain
+    padded = np.zeros(n << blowup, np.uint32)
+    padded[:n] = np.asarray(fft.interpolate(small, log_size))
+    np.testing.assert_array_equal(padded[:n], np.asarray(coeffs))
+    naive = naive_basis_eval(padded, log_size + blowup)
+    rev = fft.bit_reverse_indices(log_size + blowup)
+    np.testing.assert_array_equal(big, naive[rev])
+
+
+def test_batch_columns():
+    # leading batch dimensions work (column matrices)
+    log_size = 6
+    vals = RNG.integers(0, P_INT, size=(5, 1 << log_size), dtype=np.uint32)
+    coeffs = fft.interpolate(vals, log_size)
+    back = np.asarray(fft.evaluate(coeffs, log_size))
+    np.testing.assert_array_equal(back, vals)
