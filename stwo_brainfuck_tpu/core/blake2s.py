@@ -1,0 +1,120 @@
+"""BLAKE2s-256, vectorized over many independent messages (TPU device path).
+
+TPU-native equivalent of the reference's Blake2s Merkle hasher / channel hash
+(stwo ``vcs::blake2_merkle`` / ``channel::Blake2sChannel``; used at
+crates/brainfuck_prover/src/brainfuck_air/mod.rs:57-64).
+
+The device path hashes N same-length messages at once as pure uint32 VPU ops
+(xor/add/rotr); digests are bit-identical to python's hashlib.blake2s
+(tested), which the host-side channel and verifier use.
+
+Messages are uint32 word arrays (everything we hash — digests and M31 column
+values — is 4-byte aligned little-endian, so no byte plumbing is needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+_IV = np.array(
+    [0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+     0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19],
+    dtype=np.uint32,
+)
+
+# h[0] ^= 0x01010000 | digest_length (32); fanout=1 depth=1, no key.
+_H0 = _IV.copy()
+_H0[0] ^= np.uint32(0x01010020)
+
+_SIGMA = np.array(
+    [
+        [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+        [14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3],
+        [11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4],
+        [7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8],
+        [9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13],
+        [2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9],
+        [12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11],
+        [13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10],
+        [6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5],
+        [10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0],
+    ],
+    dtype=np.int32,
+)
+
+
+def _rotr(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
+
+
+def compress(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
+    """One BLAKE2s compression. h: (..., 8) uint32, m: (..., 16) uint32,
+    t: byte counter after this block (static int), last: final-block flag."""
+    v = [h[..., i] for i in range(8)] + [jnp.broadcast_to(jnp.uint32(_IV[i]), h.shape[:-1]) for i in range(8)]
+    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
+    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
+    if last:
+        v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
+
+    ms = [m[..., i] for i in range(16)]
+
+    def g(a, b, c, d, x, y):
+        a = a + b + x
+        d = _rotr(d ^ a, 16)
+        c = c + d
+        b = _rotr(b ^ c, 12)
+        a = a + b + y
+        d = _rotr(d ^ a, 8)
+        c = c + d
+        b = _rotr(b ^ c, 7)
+        return a, b, c, d
+
+    for r in range(10):
+        s = _SIGMA[r]
+        v[0], v[4], v[8], v[12] = g(v[0], v[4], v[8], v[12], ms[s[0]], ms[s[1]])
+        v[1], v[5], v[9], v[13] = g(v[1], v[5], v[9], v[13], ms[s[2]], ms[s[3]])
+        v[2], v[6], v[10], v[14] = g(v[2], v[6], v[10], v[14], ms[s[4]], ms[s[5]])
+        v[3], v[7], v[11], v[15] = g(v[3], v[7], v[11], v[15], ms[s[6]], ms[s[7]])
+        v[0], v[5], v[10], v[15] = g(v[0], v[5], v[10], v[15], ms[s[8]], ms[s[9]])
+        v[1], v[6], v[11], v[12] = g(v[1], v[6], v[11], v[12], ms[s[10]], ms[s[11]])
+        v[2], v[7], v[8], v[13] = g(v[2], v[7], v[8], v[13], ms[s[12]], ms[s[13]])
+        v[3], v[4], v[9], v[14] = g(v[3], v[4], v[9], v[14], ms[s[14]], ms[s[15]])
+
+    out = [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)]
+    return jnp.stack(out, axis=-1)
+
+
+def hash_words(words: jnp.ndarray, n_bytes: int | None = None) -> jnp.ndarray:
+    """BLAKE2s-256 of N same-length word-aligned messages.
+
+    words: (..., W) uint32 little-endian message words.
+    n_bytes: true message length (defaults to 4*W; pass a smaller value only
+    if trailing words are zero padding).
+    Returns (..., 8) uint32 digest words.
+    """
+    words = jnp.asarray(words, jnp.uint32)
+    w = words.shape[-1]
+    total = 4 * w if n_bytes is None else n_bytes
+    n_blocks = max(1, -(-w // 16))
+    pad = n_blocks * 16 - w
+    if pad:
+        words = jnp.concatenate(
+            [words, jnp.zeros(words.shape[:-1] + (pad,), jnp.uint32)], axis=-1
+        )
+    h = jnp.broadcast_to(jnp.asarray(_H0), words.shape[:-1] + (8,))
+    for blk in range(n_blocks):
+        is_last = blk == n_blocks - 1
+        t = total if is_last else 64 * (blk + 1)
+        h = compress(h, words[..., blk * 16 : (blk + 1) * 16], t, is_last)
+    return h
+
+
+def digest_to_bytes(digest_words: np.ndarray) -> bytes:
+    """(8,) uint32 digest words -> 32-byte digest (little-endian words)."""
+    return np.asarray(digest_words, dtype="<u4").tobytes()
+
+
+def bytes_to_words(data: bytes) -> np.ndarray:
+    assert len(data) % 4 == 0
+    return np.frombuffer(data, dtype="<u4").copy()

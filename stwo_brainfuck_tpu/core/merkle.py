@@ -1,0 +1,178 @@
+"""Blake2s Merkle vector commitment over mixed-size M31 columns.
+
+TPU-native equivalent of stwo's ``MerkleProver``/``MerkleVerifier``
+(``vcs::blake2_merkle``, used via CommitmentSchemeProver at
+crates/brainfuck_prover/src/brainfuck_air/mod.rs:495-500).
+
+One tree commits a whole commitment phase (preprocessed / main / interaction /
+composition). Columns of commitment-domain size 2^k are injected at tree
+level k (level k has 2^k nodes; level 0 is the root):
+
+    node_{k,i} = blake2s( child_{k+1,2i} || child_{k+1,2i+1}
+                          || col_values_at_level_k[i] ... )
+
+Tree building is the device hot path: every level is one vectorized Blake2s
+over all nodes (core/blake2s.py). Decommitment/verification run on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import blake2s
+
+
+ColumnsByLog = Dict[int, List[jnp.ndarray]]
+
+
+@dataclass
+class MerkleTree:
+    root: bytes
+    # level -> (2^level, 8) uint32 digest words (host copies for decommit)
+    layers: Dict[int, np.ndarray]
+    columns_by_log: Dict[int, List[np.ndarray]]
+
+    @property
+    def max_log(self) -> int:
+        return max(self.layers)
+
+
+def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
+    """Build the tree on device; returns root + host layers."""
+    assert columns_by_log, "empty commitment"
+    max_log = max(columns_by_log)
+    layers: Dict[int, np.ndarray] = {}
+    prev: jnp.ndarray | None = None  # (2^(k+1), 8)
+
+    for k in range(max_log, -1, -1):
+        cols = columns_by_log.get(k, [])
+        parts: List[jnp.ndarray] = []
+        if prev is not None:
+            parts.append(prev.reshape(1 << k, 16))
+        for c in cols:
+            assert c.shape == (1 << k,), (c.shape, k)
+            parts.append(jnp.asarray(c, jnp.uint32).reshape(1 << k, 1))
+        msg = jnp.concatenate(parts, axis=1)
+        prev = blake2s.hash_words(msg)
+        layers[k] = np.asarray(prev)
+
+    root = blake2s.digest_to_bytes(layers[0][0])
+    host_cols = {
+        k: [np.asarray(c) for c in cols] for k, cols in columns_by_log.items()
+    }
+    return MerkleTree(root=root, layers=layers, columns_by_log=host_cols)
+
+
+@dataclass
+class MerkleDecommitment:
+    """Witness for a set of query positions (positions on the deepest level).
+
+    column_values[k] = per column at level k, values at sorted needed
+    positions of level k. witness_hashes: sibling digests (32B each) ordered
+    by (level descending, position ascending)."""
+
+    column_values: Dict[int, List[List[int]]] = field(default_factory=dict)
+    witness_hashes: List[bytes] = field(default_factory=list)
+
+    def to_json(self):
+        return {
+            "column_values": {str(k): v for k, v in self.column_values.items()},
+            "witness_hashes": [h.hex() for h in self.witness_hashes],
+        }
+
+    @staticmethod
+    def from_json(obj) -> "MerkleDecommitment":
+        return MerkleDecommitment(
+            column_values={int(k): [[int(x) for x in col] for col in v]
+                           for k, v in obj["column_values"].items()},
+            witness_hashes=[bytes.fromhex(h) for h in obj["witness_hashes"]],
+        )
+
+
+def _needed_positions(queries: Sequence[int], max_log: int) -> Dict[int, List[int]]:
+    needed = {}
+    for k in range(max_log, -1, -1):
+        needed[k] = sorted({q >> (max_log - k) for q in queries})
+    return needed
+
+
+def decommit(tree: MerkleTree, queries: Sequence[int]) -> MerkleDecommitment:
+    """Produce the witness for query positions (indices into level max_log)."""
+    max_log = tree.max_log
+    needed = _needed_positions(queries, max_log)
+    out = MerkleDecommitment()
+    for k in range(max_log, -1, -1):
+        cols = tree.columns_by_log.get(k, [])
+        if cols:
+            out.column_values[k] = [
+                [int(c[p]) for p in needed[k]] for c in cols
+            ]
+        if k < max_log:
+            # children of needed[k] at level k+1; provide siblings not needed
+            child_needed = set(needed[k + 1])
+            for p in needed[k]:
+                for child in (2 * p, 2 * p + 1):
+                    if child not in child_needed:
+                        out.witness_hashes.append(
+                            blake2s.digest_to_bytes(tree.layers[k + 1][child])
+                        )
+    return out
+
+
+class MerkleVerificationError(Exception):
+    pass
+
+
+def verify(
+    root: bytes,
+    column_log_sizes: Dict[int, int],
+    queries: Sequence[int],
+    decommitment: MerkleDecommitment,
+    max_log: int | None = None,
+) -> Dict[int, List[List[int]]]:
+    """Verify a decommitment against `root`.
+
+    column_log_sizes: level -> number of columns at that level.
+    Returns the verified column values (level -> per-column values at the
+    level's needed positions) for use by the FRI/quotient checks.
+    Raises MerkleVerificationError on any mismatch.
+    """
+    if max_log is None:
+        max_log = max(column_log_sizes)
+    needed = _needed_positions(queries, max_log)
+    witness = iter(decommitment.witness_hashes)
+    prev_hashes: Dict[int, bytes] = {}
+
+    for k in range(max_log, -1, -1):
+        n_cols = column_log_sizes.get(k, 0)
+        vals = decommitment.column_values.get(k, [])
+        if len(vals) != n_cols or any(len(v) != len(needed[k]) for v in vals):
+            raise MerkleVerificationError(f"bad column values at level {k}")
+        cur: Dict[int, bytes] = {}
+        for pi, p in enumerate(needed[k]):
+            msg = b""
+            if k < max_log:
+                for child in (2 * p, 2 * p + 1):
+                    if child in prev_hashes:
+                        msg += prev_hashes[child]
+                    else:
+                        try:
+                            msg += next(witness)
+                        except StopIteration:
+                            raise MerkleVerificationError("witness exhausted")
+            for col in vals:
+                msg += int(col[pi]).to_bytes(4, "little")
+            import hashlib
+
+            cur[p] = hashlib.blake2s(msg).digest()
+        prev_hashes = cur
+
+    if next(witness, None) is not None:
+        raise MerkleVerificationError("unused witness hashes")
+    if prev_hashes.get(0) != root:
+        raise MerkleVerificationError("root mismatch")
+    return decommitment.column_values

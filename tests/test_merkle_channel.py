@@ -1,0 +1,98 @@
+"""Blake2s device/host parity, channel determinism, Merkle commit/verify."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from stwo_brainfuck_tpu.core import blake2s, merkle
+from stwo_brainfuck_tpu.core.channel import Blake2sChannel
+from stwo_brainfuck_tpu.core.m31 import P_INT
+
+RNG = np.random.default_rng(2)
+
+
+def test_blake2s_matches_hashlib():
+    for nwords in (1, 8, 16, 17, 33):
+        msgs = RNG.integers(0, 2**32, size=(5, nwords), dtype=np.uint32)
+        digs = np.asarray(blake2s.hash_words(msgs))
+        for i in range(5):
+            expect = hashlib.blake2s(msgs[i].astype("<u4").tobytes()).digest()
+            assert blake2s.digest_to_bytes(digs[i]) == expect
+
+
+def test_channel_determinism_and_divergence():
+    a, b = Blake2sChannel(), Blake2sChannel()
+    a.mix_u32s([1, 2, 3])
+    b.mix_u32s([1, 2, 3])
+    assert a.draw_felt() == b.draw_felt()
+    assert a.digest == b.digest
+    a.mix_u64(7)
+    b.mix_u64(8)
+    assert a.draw_felt() != b.draw_felt()
+    # draws advance
+    c = Blake2sChannel()
+    assert c.draw_felt() != c.draw_felt()
+    # felts are canonical M31
+    for f in c.draw_felts(8):
+        assert all(0 <= v < P_INT for v in f)
+
+
+def test_channel_pow():
+    ch = Blake2sChannel()
+    ch.mix_u32s([42])
+    nonce = ch.grind_pow(8)
+    assert ch.check_pow_nonce(8, nonce)
+    assert not ch.check_pow_nonce(30, nonce) or True  # just must not raise
+
+
+def _random_columns():
+    return {
+        6: [RNG.integers(0, P_INT, 64, dtype=np.uint32) for _ in range(3)],
+        4: [RNG.integers(0, P_INT, 16, dtype=np.uint32) for _ in range(2)],
+        2: [RNG.integers(0, P_INT, 4, dtype=np.uint32)],
+    }
+
+
+def test_merkle_commit_verify_roundtrip():
+    cols = _random_columns()
+    tree = merkle.commit(cols)
+    queries = [0, 5, 63, 17]
+    dec = merkle.decommit(tree, queries)
+    sizes = {k: len(v) for k, v in cols.items()}
+    values = merkle.verify(tree.root, sizes, queries, dec)
+    # returned values match the committed columns
+    needed6 = sorted({q for q in queries})
+    np.testing.assert_array_equal(values[6][0], [int(cols[6][0][p]) for p in needed6])
+    needed4 = sorted({q >> 2 for q in queries})
+    np.testing.assert_array_equal(values[4][1], [int(cols[4][1][p]) for p in needed4])
+
+
+def test_merkle_detects_tampering():
+    cols = _random_columns()
+    tree = merkle.commit(cols)
+    queries = [3, 40]
+    sizes = {k: len(v) for k, v in cols.items()}
+
+    dec = merkle.decommit(tree, queries)
+    dec.column_values[6][0][0] = (dec.column_values[6][0][0] + 1) % P_INT
+    with pytest.raises(merkle.MerkleVerificationError):
+        merkle.verify(tree.root, sizes, queries, dec)
+
+    dec2 = merkle.decommit(tree, queries)
+    dec2.witness_hashes[0] = bytes(32)
+    with pytest.raises(merkle.MerkleVerificationError):
+        merkle.verify(tree.root, sizes, queries, dec2)
+
+    dec3 = merkle.decommit(tree, queries)
+    with pytest.raises(merkle.MerkleVerificationError):
+        merkle.verify(bytes(32), sizes, queries, dec3)
+
+
+def test_merkle_root_depends_on_all_columns():
+    cols = _random_columns()
+    r1 = merkle.commit(cols).root
+    cols[2][0] = cols[2][0].copy()
+    cols[2][0][3] ^= 1
+    r2 = merkle.commit(cols).root
+    assert r1 != r2
