@@ -139,6 +139,51 @@ def evaluate(coeffs: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
     return v
 
 
+@lru_cache(maxsize=64)
+def coset_order_permutation(log_size: int) -> np.ndarray:
+    """perm[l] = storage position (bit-reversed [H, -H] order) of the l-th
+    point of the canonic coset in LINEAR order (point q(1+2l)).
+
+    l = 2k   -> natural index k          (in H)
+    l = 2k+1 -> natural index 2^(n-1) + (2^(n-1)-1-k)   (in -H, reversed)
+    """
+    n = log_size
+    half = 1 << (n - 1)
+    k = np.arange(half, dtype=np.uint32)
+    nat = np.empty(1 << n, np.uint32)
+    nat[0::2] = k
+    nat[1::2] = half + (half - 1 - k)
+    rev = bit_reverse_indices(n)
+    return rev[nat]
+
+
+@lru_cache(maxsize=64)
+def rotation_permutation(log_size: int, log_blowup: int, shift_steps: int) -> np.ndarray:
+    """Permutation realizing evaluation of f(p - shift_steps * g_n) from the
+    evaluations of f on the blown-up domain of size 2^(log_size+log_blowup)
+    (both in bit-reversed storage). g_n is the trace-domain step 2^(31-n).
+
+    perm[j] = storage position of (point at storage j) - shift*g_n; i.e.
+    rotated[j] = values[perm[j]].
+    """
+    from .circle import CanonicCoset, M31_CIRCLE_LOG_ORDER
+
+    n_big = log_size + log_blowup
+    dom = CanonicCoset(n_big).circle_domain()
+    indices = dom.indices().astype(np.int64)  # natural order
+    rev = bit_reverse_indices(n_big)
+    # storage j holds natural index rev[j]
+    storage_index_value = indices[rev]
+    pos_of_index = {int(v): j for j, v in enumerate(storage_index_value)}
+    g = shift_steps * (1 << (M31_CIRCLE_LOG_ORDER - log_size))
+    mod = 1 << M31_CIRCLE_LOG_ORDER
+    perm = np.array(
+        [pos_of_index[int((v - g) % mod)] for v in storage_index_value],
+        np.uint32,
+    )
+    return perm
+
+
 def extend(values: jnp.ndarray, log_blowup: int) -> jnp.ndarray:
     """Low-degree extension: evaluation on domain 2^n (bit-reversed) ->
     evaluation on domain 2^(n+log_blowup) (bit-reversed)."""

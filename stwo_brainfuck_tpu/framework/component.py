@@ -1,0 +1,435 @@
+"""Constraint framework: components, constraint evaluation, LogUp.
+
+TPU-native equivalent of stwo's ``constraint_framework``
+(FrameworkComponent/FrameworkEval/EvalAtRow/LogupTraceGenerator, used by all
+13 AIR components, e.g.
+crates/brainfuck_prover/src/components/memory/component.rs:35-137).
+
+Design differences from stwo (self-consistent, documented):
+
+- Main-trace columns use the reference's "flattened next row" layout, so no
+  mask offsets are needed on main columns.
+- LogUp layout: for each relation entry k the prover commits a QM31 fraction
+  column Q_k = num_k / den_k (constraint: Q_k * den_k - num_k = 0, degree 2),
+  plus ONE QM31 prefix-sum column S per component with the cyclic constraint
+      S(p) - S(p - g) - sum_k Q_k(p) + is_first(p) * claimed_sum = 0
+  which simultaneously enforces the accumulation and S(last) = claimed_sum.
+  (stwo instead folds fractions into cumulative columns of higher degree;
+  the fraction-column form keeps every constraint at degree <= 3, so a
+  single 2x blowup covers the whole system — better for TPU tiling.)
+- The only mask offset in the system is S at -1, realized on the prover side
+  as a precomputed index permutation of the blown-up evaluation (rotation by
+  -g is a permutation of the blowup domain) and on the verifier side as one
+  extra sample point z - g.
+
+A component subclass defines `columns` (main trace names) and
+`define_constraints(e)` using the evaluator API; the same definition drives
+prover-side vectorized evaluation, verifier-side point evaluation, interaction
+trace building, and constraint count bookkeeping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import m31, qm31
+from ..core.fft import coset_order_permutation
+from ..core.m31 import P_INT
+
+
+# ---------------------------------------------------------------------------
+# Lookup elements (drawn from the channel): z and alpha powers
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LookupElements:
+    """Combine values as sum_i alpha^i * v_i - z
+    (reference: memory/table.rs:443-465)."""
+
+    z: tuple
+    alpha: tuple
+    size: int
+
+    @staticmethod
+    def draw(channel, size: int) -> "LookupElements":
+        z = channel.draw_felt()
+        alpha = channel.draw_felt()
+        return LookupElements(z=z, alpha=alpha, size=size)
+
+    @staticmethod
+    def dummy(size: int) -> "LookupElements":
+        # z has a nonzero imaginary coordinate so that combine() of
+        # M31-valued rows with real alpha powers can never hit zero.
+        return LookupElements(z=(7, 1, 0, 0), alpha=(3, 0, 0, 0), size=size)
+
+    @property
+    def alpha_powers(self) -> List[tuple]:
+        powers = [qm31.ONE]
+        for _ in range(self.size - 1):
+            powers.append(qm31.h_mul(powers[-1], self.alpha))
+        return powers
+
+    # host combine (python QM31 tuples or ints)
+    def combine_host(self, values: Sequence) -> tuple:
+        acc = qm31.ZERO
+        for a, v in zip(self.alpha_powers, values):
+            vq = (v % P_INT, 0, 0, 0) if isinstance(v, int) else v
+            acc = qm31.h_add(acc, qm31.h_mul(a, vq))
+        return qm31.h_sub(acc, self.z)
+
+    # device combine: values are M31 arrays of a common shape -> QM31 array
+    def combine_device(self, values: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        coeffs = jnp.asarray(np.array(self.alpha_powers, np.uint32))
+        acc = qm31.dot_m31(coeffs, values)
+        z = jnp.asarray(np.array(self.z, np.uint32))
+        return qm31.sub(acc, jnp.reshape(z, (4,) + (1,) * (acc.ndim - 1)))
+
+
+# ---------------------------------------------------------------------------
+# Expression values: device arrays (QM31 stacked) or host QM31 tuples
+# ---------------------------------------------------------------------------
+
+class _DeviceOps:
+    """QM31 arithmetic on (4, N) uint32 arrays; M31 inputs are embedded."""
+
+    @staticmethod
+    def lift(v):
+        if isinstance(v, int):
+            return np.array([v % P_INT, 0, 0, 0], np.uint32)
+        return v
+
+    @staticmethod
+    def is_qm(v) -> bool:
+        return v.ndim >= 1 and v.shape[0] == 4 and v.ndim > 1
+
+    @staticmethod
+    def add(a, b):
+        return qm31.add(a, b)
+
+    @staticmethod
+    def sub(a, b):
+        return qm31.sub(a, b)
+
+    @staticmethod
+    def mul(a, b):
+        return qm31.mul(a, b)
+
+
+class Expr:
+    """Lightweight wrapper so constraint definitions read algebraically.
+
+    Wraps either a device QM31 array (4, N) or a host QM31 tuple. Integers
+    are lifted. All constraint code is written against this type.
+    """
+
+    __slots__ = ("v", "host")
+
+    def __init__(self, v, host: bool):
+        self.v = v
+        self.host = host
+
+    def _lift(self, other) -> "Expr":
+        if isinstance(other, Expr):
+            return other
+        if isinstance(other, int):
+            if self.host:
+                return Expr((other % P_INT, 0, 0, 0), True)
+            n = self.v.shape[1:]
+            arr = qm31.from_m31(jnp.full(n, other % P_INT, jnp.uint32))
+            return Expr(arr, False)
+        raise TypeError(type(other))
+
+    def __add__(self, other):
+        o = self._lift(other)
+        return Expr(qm31.h_add(self.v, o.v) if self.host else qm31.add(self.v, o.v), self.host)
+
+    def __sub__(self, other):
+        o = self._lift(other)
+        return Expr(qm31.h_sub(self.v, o.v) if self.host else qm31.sub(self.v, o.v), self.host)
+
+    def __rsub__(self, other):
+        return self._lift(other).__sub__(self)
+
+    def __mul__(self, other):
+        o = self._lift(other)
+        return Expr(qm31.h_mul(self.v, o.v) if self.host else qm31.mul(self.v, o.v), self.host)
+
+    __radd__ = __add__
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return Expr(qm31.h_neg(self.v) if self.host else qm31.neg(self.v), self.host)
+
+
+# ---------------------------------------------------------------------------
+# Relation entries and component base
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RelationEntry:
+    elements_name: str      # which LookupElements set ("memory"/"instruction"/"processor")
+    numerator: "Expr"       # signed multiplicity (e.g. d - 1, 1 - d, -1)
+    values: List["Expr"]    # combined values
+
+
+class Evaluator:
+    """Collects constraints while a component's define_constraints runs.
+
+    Modes:
+    - device: columns are M31 arrays on the (blown-up) evaluation domain;
+      interaction columns are QM31 arrays; results are QM31 arrays.
+    - host (point): columns are sampled QM31 values at the OODS point.
+    """
+
+    def __init__(
+        self,
+        component: "Component",
+        main: Dict[str, object],
+        interaction: List[object],
+        interaction_prev_sum: object,
+        is_first: object,
+        claimed_sum: object,
+        elements: Dict[str, LookupElements],
+        host: bool,
+    ):
+        self.component = component
+        self._main = main
+        self._interaction = interaction
+        self._prev_sum = interaction_prev_sum
+        self._is_first = is_first
+        self._claimed_sum = claimed_sum
+        self._elements = elements
+        self.host = host
+        self.constraints: List[Expr] = []
+        self.relations: List[RelationEntry] = []
+
+    # -- component API -----------------------------------------------------
+
+    def col(self, name: str) -> Expr:
+        v = self._main[name]
+        if self.host:
+            return Expr(v, True)
+        return Expr(qm31.from_m31(v), False)
+
+    def is_first(self) -> Expr:
+        v = self._is_first
+        if self.host:
+            return Expr(v, True)
+        return Expr(qm31.from_m31(v), False)
+
+    def add(self, expr: Expr) -> None:
+        self.constraints.append(expr)
+
+    def relation(self, elements_name: str, numerator: Expr, values: List[Expr]) -> None:
+        self.relations.append(RelationEntry(elements_name, numerator, values))
+
+    # -- framework: turn relations into interaction constraints -------------
+
+    def finalize_logup(self) -> None:
+        """Append the LogUp constraints:
+        per entry k: Q_k * den_k - num_k = 0;
+        cumsum: S - S_prev - sum(Q_k) + is_first * claimed_sum = 0."""
+        n = len(self.relations)
+        assert len(self._interaction) == n + 1, (len(self._interaction), n)
+        q_sum: Optional[Expr] = None
+        for k, rel in enumerate(self.relations):
+            els = self._elements[rel.elements_name]
+            if self.host:
+                den = Expr(els.combine_host([v.v for v in rel.values]), True)
+            else:
+                # values are QM31-embedded columns; combine = sum a^i v_i - z
+                coeffs = jnp.asarray(np.array(els.alpha_powers, np.uint32))
+                acc = None
+                for a_idx, v in enumerate(rel.values):
+                    c = jnp.reshape(coeffs[a_idx], (4,) + (1,) * (v.v.ndim - 1))
+                    term = qm31.mul(c, v.v)
+                    acc = term if acc is None else qm31.add(acc, term)
+                z = jnp.reshape(jnp.asarray(np.array(els.z, np.uint32)), (4,) + (1,) * (acc.ndim - 1))
+                den = Expr(qm31.sub(acc, z), False)
+            q_k = Expr(self._interaction[k], self.host)
+            self.add(q_k * den - rel.numerator)
+            q_sum = q_k if q_sum is None else q_sum + q_k
+        s = Expr(self._interaction[n], self.host)
+        s_prev = Expr(self._prev_sum, self.host)
+        claimed = Expr(self._claimed_sum, self.host)
+        self.add(s - s_prev - q_sum + self.is_first() * claimed)
+
+
+class Component:
+    """Base class for AIR components."""
+
+    name: str = "component"
+    columns: Tuple[str, ...] = ()
+
+    def __init__(self, log_size: int):
+        self.log_size = log_size
+
+    # subclasses override
+    def define_constraints(self, e: Evaluator) -> None:
+        raise NotImplementedError
+
+    # -- bookkeeping --------------------------------------------------------
+
+    @property
+    def n_main_columns(self) -> int:
+        return len(self.columns)
+
+    def relation_count(self) -> int:
+        """Number of LogUp relation entries (dry run with dummies)."""
+        return len(self._dry_run().relations)
+
+    def constraint_count(self) -> int:
+        return len(self._dry_run().constraints)
+
+    @property
+    def n_interaction_columns(self) -> int:
+        """QM31 interaction columns: one fraction column per relation entry
+        plus the prefix sum."""
+        return self.relation_count() + 1
+
+    def _dry_run(self) -> Evaluator:
+        main = {c: qm31.ZERO for c in self.columns}
+        n_rel = getattr(self, "_cached_n_rel", None)
+        if n_rel is None:
+            # first pass: count relations with a permissive evaluator
+            probe = _CountingEvaluator(self)
+            self.define_constraints(probe)
+            n_rel = len(probe.relations)
+            self._cached_n_rel = n_rel
+        inter = [qm31.ZERO] * (n_rel + 1)
+        e = Evaluator(
+            self, main, inter, qm31.ZERO, qm31.ZERO, qm31.ZERO,
+            _dummy_elements(), host=True,
+        )
+        self.define_constraints(e)
+        return e
+
+
+class _CountingEvaluator(Evaluator):
+    def __init__(self, component):
+        super().__init__(component, {c: qm31.ZERO for c in component.columns},
+                         [], qm31.ZERO, qm31.ZERO, qm31.ZERO, _dummy_elements(), host=True)
+
+    def finalize_logup(self) -> None:  # tolerate missing interaction columns
+        pass
+
+
+@lru_cache(maxsize=1)
+def _dummy_elements() -> Dict[str, LookupElements]:
+    return {
+        "memory": LookupElements.dummy(3),
+        "instruction": LookupElements.dummy(3),
+        "processor": LookupElements.dummy(7),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Interaction trace building (prover, device)
+# ---------------------------------------------------------------------------
+
+def build_interaction_trace(
+    component: Component,
+    main_cols: Dict[str, jnp.ndarray],
+    elements: Dict[str, LookupElements],
+) -> Tuple[List[jnp.ndarray], tuple]:
+    """Compute the component's interaction columns on the TRACE domain.
+
+    Returns ([(4, N) QM31 arrays: Q_0..Q_{K-1}, S], claimed_sum host tuple).
+
+    The trace arrays are in bit-reversed storage; the prefix sum must run in
+    NATURAL row order, so we permute, scan, and permute back.
+    """
+    n = component.log_size
+    perm = jnp.asarray(coset_order_permutation(n))
+
+    # Collect relations against the real columns (finalize skipped: the
+    # interaction columns are exactly what we are about to build). is_first
+    # is a real indicator array — relation numerators may reference it
+    # (EndOfExecutionComponent).
+    is_first = jnp.zeros(1 << n, jnp.uint32).at[0].set(1)
+    ev = Evaluator(component, main_cols, [], None, is_first, None, elements, host=False)
+    ev.finalize_logup = lambda: None  # type: ignore[method-assign]
+    component.define_constraints(ev)
+
+    q_cols: List[jnp.ndarray] = []
+    total = None
+
+    for rel in ev.relations:
+        els = elements[rel.elements_name]
+        den = els.combine_device([v.v[0] for v in rel.values])
+        q = qm31.mul(rel.numerator.v, qm31.inv(den))
+        q_cols.append(q)
+        total = q if total is None else qm31.add(total, q)
+
+    # prefix sum in coset LINEAR order (the order in which p - g is the
+    # previous point), then scatter back to bit-reversed storage
+    lin = jnp.take(total, perm, axis=1)
+    s_lin = _qm31_cumsum(lin)
+    s = jnp.zeros_like(s_lin).at[:, perm].set(s_lin)
+    claimed = tuple(int(v) for v in np.asarray(s_lin[:, -1]))
+    return q_cols + [s], claimed
+
+
+def evaluate_constraints_device(
+    component: Component,
+    main_cols: Dict[str, jnp.ndarray],
+    interaction_cols: List[jnp.ndarray],
+    s_prev: jnp.ndarray,
+    is_first: jnp.ndarray,
+    claimed_sum: tuple,
+    elements: Dict[str, LookupElements],
+) -> List[jnp.ndarray]:
+    """Evaluate every constraint of `component` pointwise over arrays
+    (trace domain for testing, blown-up domain for the composition poly).
+
+    main_cols: M31 arrays; interaction_cols: QM31 (4, N) arrays
+    [Q_0..Q_{K-1}, S]; s_prev: rotated S (value of S at p - g);
+    is_first: M31 indicator array. Returns one QM31 (4, N) array per
+    constraint, in definition order (the alpha-power order)."""
+    claimed = jnp.reshape(jnp.asarray(np.array(claimed_sum, np.uint32)), (4, 1))
+    ev = Evaluator(
+        component, main_cols, interaction_cols, s_prev, is_first, claimed,
+        elements, host=False,
+    )
+    component.define_constraints(ev)
+    return [c.v for c in ev.constraints]
+
+
+def evaluate_constraints_at_point(
+    component: Component,
+    main_values: Dict[str, tuple],
+    interaction_values: List[tuple],
+    s_prev_value: tuple,
+    is_first_value: tuple,
+    claimed_sum: tuple,
+    elements: Dict[str, LookupElements],
+) -> List[tuple]:
+    """Evaluate every constraint at one out-of-domain point from sampled
+    column values (verifier side). All values are host QM31 tuples."""
+    ev = Evaluator(
+        component, main_values, interaction_values, s_prev_value,
+        is_first_value, claimed_sum, elements, host=True,
+    )
+    component.define_constraints(ev)
+    return [c.v for c in ev.constraints]
+
+
+def _qm31_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Modular prefix sum along axis 1 of a (4, N) uint32 array.
+
+    jnp.cumsum would overflow uint32; do log-step doubling adds in M31."""
+    n = x.shape[1]
+    log = int(n).bit_length() - 1
+    acc = x
+    for s in range(log):
+        shift = 1 << s
+        shifted = jnp.concatenate(
+            [jnp.zeros((4, shift), jnp.uint32), acc[:, :-shift]], axis=1
+        )
+        acc = m31.add(acc, shifted)
+    return acc
