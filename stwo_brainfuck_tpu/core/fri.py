@@ -1,0 +1,270 @@
+"""FRI over the circle: commit/fold on device, per-query verification on host.
+
+TPU-native equivalent of stwo's FRI (internal to ``prover::prove``; entry at
+crates/brainfuck_prover/src/brainfuck_air/mod.rs:732). Mixed-degree inputs
+are supported the same way: the combined quotient of each commitment size is
+"injected" (circle->line folded and added) when the running accumulator
+reaches its size.
+
+Folds (bit-reversed storage => pairs are adjacent positions 2t, 2t+1):
+- circle->line (y-twiddle):  g = (a+b)/2 + beta * (a-b)/(2 y_t)
+- line->line  (x-twiddles):  g = (a+b)/2 + beta * (a-b)/(2 x_t)
+
+The same beta (circle_fold_alpha) is used for every circle->line injection;
+each committed intermediate line layer draws a fresh beta from the channel
+after its Merkle root is mixed. The last layer (line domain of size
+2^LOG_LAST_LAYER) is sent in the clear as a single constant coefficient.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import m31, merkle, qm31
+from .fft import get_twiddles
+from .m31 import P_INT
+
+LOG_LAST_LAYER = 1  # stop at a 2-point line domain; send 1 (constant) coeff
+
+_INV2 = (P_INT + 1) // 2
+
+
+@lru_cache(maxsize=32)
+def _circle_fold_itw(log_size: int) -> np.ndarray:
+    """inv(2*y_t) for the circle domain of size 2^log_size (host)."""
+    y = np.asarray(get_twiddles(log_size).fwd[0])
+    return m31.np_inv((2 * y.astype(np.uint64)) % P_INT)
+
+
+@lru_cache(maxsize=32)
+def _line_fold_itw(line_log_size: int) -> np.ndarray:
+    """inv(2*x_t) for the line domain of size 2^line_log_size (x-projection
+    of the circle domain of size 2^(line_log_size+1))."""
+    x = np.asarray(get_twiddles(line_log_size + 1).fwd[1])
+    return m31.np_inv((2 * x.astype(np.uint64)) % P_INT)
+
+
+def _fold(values: jnp.ndarray, itw: jnp.ndarray, beta: tuple) -> jnp.ndarray:
+    """One fold of a QM31 evaluation (4, 2N) -> (4, N)."""
+    a = values[:, 0::2]
+    b = values[:, 1::2]
+    s = qm31.mul_m31(m31.add(a, b), jnp.uint32(_INV2))
+    d = qm31.mul_m31(m31.sub(a, b), jnp.asarray(itw))
+    bdev = jnp.asarray(np.array(beta, np.uint32)).reshape(4, 1)
+    return qm31.add(s, qm31.mul(bdev, d))
+
+
+def fold_circle(values: jnp.ndarray, beta: tuple, log_size: int) -> jnp.ndarray:
+    return _fold(values, _circle_fold_itw(log_size), beta)
+
+
+def fold_line(values: jnp.ndarray, beta: tuple, line_log_size: int) -> jnp.ndarray:
+    return _fold(values, _line_fold_itw(line_log_size), beta)
+
+
+def _commit_layer(values: jnp.ndarray) -> merkle.MerkleTree:
+    """Merkle-commit a QM31 line layer as its 4 M31 coordinate columns."""
+    n = values.shape[1]
+    log = n.bit_length() - 1
+    return merkle.commit({log: [values[k] for k in range(4)]})
+
+
+@dataclass
+class FriProof:
+    layer_roots: List[bytes]
+    last_layer_value: tuple
+    # filled during decommit:
+    layer_decommitments: List[merkle.MerkleDecommitment] = field(default_factory=list)
+    layer_values: List[Dict[int, tuple]] = field(default_factory=list)
+
+    def to_json(self):
+        return {
+            "layer_roots": [r.hex() for r in self.layer_roots],
+            "last_layer_value": list(self.last_layer_value),
+            "layer_decommitments": [d.to_json() for d in self.layer_decommitments],
+            "layer_values": [
+                {str(k): list(v) for k, v in lv.items()} for lv in self.layer_values
+            ],
+        }
+
+    @staticmethod
+    def from_json(obj) -> "FriProof":
+        return FriProof(
+            layer_roots=[bytes.fromhex(r) for r in obj["layer_roots"]],
+            last_layer_value=tuple(obj["last_layer_value"]),
+            layer_decommitments=[
+                merkle.MerkleDecommitment.from_json(d) for d in obj["layer_decommitments"]
+            ],
+            layer_values=[
+                {int(k): tuple(v) for k, v in lv.items()} for lv in obj["layer_values"]
+            ],
+        )
+
+
+@dataclass
+class FriProver:
+    """Holds the committed layers so queries can be decommitted later."""
+
+    proof: FriProof
+    layers: List[merkle.MerkleTree]          # committed line layers
+    layer_evals: List[np.ndarray]            # (4, N) host copies
+    circle_fold_alpha: tuple
+    max_log: int
+    input_logs: List[int]
+
+
+def fri_commit(inputs: Dict[int, jnp.ndarray], channel) -> FriProver:
+    """inputs: circle-domain size log -> combined quotient (4, 2^log).
+    Performs all folds, committing each intermediate line layer and mixing
+    roots/last value into the channel."""
+    logs = sorted(inputs, reverse=True)
+    assert logs, "no FRI inputs"
+    max_log = logs[0]
+
+    beta0 = channel.draw_felt()  # circle fold coefficient for all injections
+
+    cur = fold_circle(inputs[max_log], beta0, max_log)  # line size 2^(max-1)
+    m = max_log - 1
+    layers: List[merkle.MerkleTree] = []
+    layer_evals: List[np.ndarray] = []
+    roots: List[bytes] = []
+
+    while m > LOG_LAST_LAYER:
+        if m + 1 in inputs and m + 1 != max_log:
+            cur = qm31.add(cur, fold_circle(inputs[m + 1], beta0, m + 1))
+        tree = _commit_layer(cur)
+        layers.append(tree)
+        layer_evals.append(np.asarray(cur))
+        roots.append(tree.root)
+        channel.mix_root(tree.root)
+        beta = channel.draw_felt()
+        cur = fold_line(cur, beta, m)
+        m -= 1
+
+    if m + 1 in inputs and m + 1 != max_log:
+        cur = qm31.add(cur, fold_circle(inputs[m + 1], beta0, m + 1))
+
+    # last layer: 2-point line evaluation of a constant polynomial
+    arr = np.asarray(cur)
+    v0 = tuple(int(x) for x in arr[:, 0])
+    last = v0
+    channel.mix_felts([last])
+
+    proof = FriProof(layer_roots=roots, last_layer_value=last)
+    return FriProver(
+        proof=proof, layers=layers, layer_evals=layer_evals,
+        circle_fold_alpha=beta0, max_log=max_log, input_logs=logs,
+    )
+
+
+def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
+    """Decommit each layer at the query fold positions (pairs), filling
+    proof.layer_decommitments / layer_values. queries are positions in the
+    max circle domain."""
+    m = prover.max_log - 1
+    for tree, evals in zip(prover.layers, prover.layer_evals):
+        positions = sorted({(q >> (prover.max_log - m)) ^ b for q in queries for b in (0, 1)})
+        dec = merkle.decommit(tree, positions)
+        prover.proof.layer_decommitments.append(dec)
+        prover.proof.layer_values.append(
+            {p: tuple(int(x) for x in evals[:, p]) for p in positions}
+        )
+        m -= 1
+
+
+class FriVerificationError(Exception):
+    pass
+
+
+def fri_verify_queries(
+    proof: FriProof,
+    channel_betas: Tuple[tuple, List[tuple]],
+    max_log: int,
+    queries: Sequence[int],
+    input_values_fn,
+) -> None:
+    """Walk the folds for each query and check consistency.
+
+    channel_betas: (beta0, [per-layer betas]) re-drawn by the caller in
+    transcript order. input_values_fn(log, position) -> QM31 value of the
+    combined quotient of circle-size `log` at `position` (computed by the
+    caller from decommitted trace values).
+    """
+    beta0, betas = channel_betas
+
+    # verify layer merkle decommitments and collect values
+    m = max_log - 1
+    layer_vals: List[Dict[int, tuple]] = []
+    for li, (root, dec) in enumerate(zip(proof.layer_roots, proof.layer_decommitments)):
+        positions = sorted({(q >> (max_log - m)) ^ b for q in queries for b in (0, 1)})
+        vals = proof.layer_values[li]
+        if sorted(vals) != positions:
+            raise FriVerificationError(f"layer {li}: bad positions")
+        cols = [[vals[p][k] for p in positions] for k in range(4)]
+        dec_check = merkle.MerkleDecommitment(
+            column_values={m: cols}, witness_hashes=dec.witness_hashes
+        )
+        try:
+            merkle.verify(root, {m: 4}, positions, dec_check, max_log=m)
+        except merkle.MerkleVerificationError as exc:
+            raise FriVerificationError(f"layer {li} merkle: {exc}")
+        layer_vals.append(vals)
+        m -= 1
+
+    # walk each query
+    input_logs_present = set()
+    for q in queries:
+        # first circle fold at max_log
+        pos = q & ~1
+        a = input_values_fn(max_log, pos)
+        b = input_values_fn(max_log, pos | 1)
+        cur = _host_fold(a, b, beta0, _circle_itw_host(max_log, pos >> 1))
+        m = max_log - 1
+        pos >>= 1
+        li = 0
+        while m > LOG_LAST_LAYER:
+            inj = None if m + 1 == max_log else _maybe_inject(input_values_fn, m, pos, beta0)
+            if inj is not None:
+                cur = qm31.h_add(cur, inj)
+            vals = layer_vals[li]
+            if vals.get(pos) != cur:
+                raise FriVerificationError(f"fold mismatch at layer {li} pos {pos}")
+            sib = vals[pos ^ 1]
+            aa, bb = (cur, sib) if pos % 2 == 0 else (sib, cur)
+            cur = _host_fold(aa, bb, betas[li], _line_itw_host(m, pos >> 1))
+            pos >>= 1
+            m -= 1
+            li += 1
+        inj = None if m + 1 == max_log else _maybe_inject(input_values_fn, m, pos, beta0)
+        if inj is not None:
+            cur = qm31.h_add(cur, inj)
+        if cur != proof.last_layer_value:
+            raise FriVerificationError(f"last layer mismatch at query {q}")
+
+
+def _maybe_inject(input_values_fn, m, pos, beta0):
+    """Injected circle-size m+1 fold value at line position pos, or None."""
+    a = input_values_fn(m + 1, (2 * pos))
+    if a is None:
+        return None
+    b = input_values_fn(m + 1, (2 * pos) | 1)
+    return _host_fold(a, b, beta0, _circle_itw_host(m + 1, pos))
+
+
+def _host_fold(a: tuple, b: tuple, beta: tuple, itw: int) -> tuple:
+    s = qm31.h_mul(qm31.h_add(a, b), (_INV2, 0, 0, 0))
+    d = qm31.h_mul(qm31.h_sub(a, b), (itw, 0, 0, 0))
+    return qm31.h_add(s, qm31.h_mul(beta, d))
+
+
+def _circle_itw_host(log_size: int, t: int) -> int:
+    return int(_circle_fold_itw(log_size)[t])
+
+
+def _line_itw_host(line_log: int, t: int) -> int:
+    return int(_line_fold_itw(line_log)[t])

@@ -211,3 +211,31 @@ def h_pow(x, e: int):
 
 ZERO = (0, 0, 0, 0)
 ONE = (1, 0, 0, 0)
+
+
+def _compute_frobenius_c():
+    """c = (2+i)^((p-1)/2) in CM31: the twist factor of the Frobenius map
+    phi(a + b u) = conj(a) + conj(b) * c * u (since phi(i) = -i and
+    phi(u) = u^p = (u^2)^((p-1)/2) u = c u)."""
+    base = (2, 1)
+    e = (P_INT - 1) // 2
+    result = (1, 0)
+    while e:
+        if e & 1:
+            result = _h_cm_mul(result, base)
+        base = _h_cm_mul(base, base)
+        e >>= 1
+    return result
+
+
+_FROB_C = _compute_frobenius_c()
+
+
+def h_frobenius(x):
+    """phi(x) = x^p — the generator of Gal(QM31/M31). For a polynomial f with
+    M31 coefficients: f(phi(z)) = phi(f(z)), which gives the second
+    (conjugate) sample point of each OODS quotient for free."""
+    a_conj = (x[0], (P_INT - x[1]) % P_INT)
+    b_conj = (x[2], (P_INT - x[3]) % P_INT)
+    bc = _h_cm_mul(b_conj, _FROB_C)
+    return (a_conj[0], a_conj[1], bc[0], bc[1])
