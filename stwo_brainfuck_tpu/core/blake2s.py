@@ -14,7 +14,10 @@ values — is 4-byte aligned little-endian, so no byte plumbing is needed).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _IV = np.array(
@@ -50,14 +53,21 @@ def _rotr(x: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def compress(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
     """One BLAKE2s compression. h: (..., 8) uint32, m: (..., 16) uint32,
-    t: byte counter after this block (static int), last: final-block flag."""
-    v = [h[..., i] for i in range(8)] + [jnp.broadcast_to(jnp.uint32(_IV[i]), h.shape[:-1]) for i in range(8)]
+    t: byte counter after this block (static int), last: final-block flag.
+
+    The 10 rounds run as a lax.fori_loop over pre-permuted message schedules
+    (unrolling them makes XLA's CPU compile time exponential in depth; the
+    loop body compiles once and costs nothing extra on TPU)."""
+    v = [h[..., i] for i in range(8)] + [
+        jnp.broadcast_to(jnp.uint32(_IV[i]), h.shape[:-1]) for i in range(8)
+    ]
     v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
     v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
     if last:
         v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
 
-    ms = [m[..., i] for i in range(16)]
+    # (10, ..., 16): message words permuted per round (static gather)
+    msgs = jnp.stack([m[..., _SIGMA[r]] for r in range(10)])
 
     def g(a, b, c, d, x, y):
         a = a + b + x
@@ -70,17 +80,20 @@ def compress(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
         b = _rotr(b ^ c, 7)
         return a, b, c, d
 
-    for r in range(10):
-        s = _SIGMA[r]
-        v[0], v[4], v[8], v[12] = g(v[0], v[4], v[8], v[12], ms[s[0]], ms[s[1]])
-        v[1], v[5], v[9], v[13] = g(v[1], v[5], v[9], v[13], ms[s[2]], ms[s[3]])
-        v[2], v[6], v[10], v[14] = g(v[2], v[6], v[10], v[14], ms[s[4]], ms[s[5]])
-        v[3], v[7], v[11], v[15] = g(v[3], v[7], v[11], v[15], ms[s[6]], ms[s[7]])
-        v[0], v[5], v[10], v[15] = g(v[0], v[5], v[10], v[15], ms[s[8]], ms[s[9]])
-        v[1], v[6], v[11], v[12] = g(v[1], v[6], v[11], v[12], ms[s[10]], ms[s[11]])
-        v[2], v[7], v[8], v[13] = g(v[2], v[7], v[8], v[13], ms[s[12]], ms[s[13]])
-        v[3], v[4], v[9], v[14] = g(v[3], v[4], v[9], v[14], ms[s[14]], ms[s[15]])
+    def round_fn(r, v):
+        v = list(v)
+        mr = msgs[r]
+        v[0], v[4], v[8], v[12] = g(v[0], v[4], v[8], v[12], mr[..., 0], mr[..., 1])
+        v[1], v[5], v[9], v[13] = g(v[1], v[5], v[9], v[13], mr[..., 2], mr[..., 3])
+        v[2], v[6], v[10], v[14] = g(v[2], v[6], v[10], v[14], mr[..., 4], mr[..., 5])
+        v[3], v[7], v[11], v[15] = g(v[3], v[7], v[11], v[15], mr[..., 6], mr[..., 7])
+        v[0], v[5], v[10], v[15] = g(v[0], v[5], v[10], v[15], mr[..., 8], mr[..., 9])
+        v[1], v[6], v[11], v[12] = g(v[1], v[6], v[11], v[12], mr[..., 10], mr[..., 11])
+        v[2], v[7], v[8], v[13] = g(v[2], v[7], v[8], v[13], mr[..., 12], mr[..., 13])
+        v[3], v[4], v[9], v[14] = g(v[3], v[4], v[9], v[14], mr[..., 14], mr[..., 15])
+        return tuple(v)
 
+    v = jax.lax.fori_loop(0, 10, round_fn, tuple(v))
     out = [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)]
     return jnp.stack(out, axis=-1)
 
@@ -93,7 +106,11 @@ def hash_words(words: jnp.ndarray, n_bytes: int | None = None) -> jnp.ndarray:
     if trailing words are zero padding).
     Returns (..., 8) uint32 digest words.
     """
-    words = jnp.asarray(words, jnp.uint32)
+    return _hash_words_jit(jnp.asarray(words, jnp.uint32), n_bytes)
+
+
+@partial(jax.jit, static_argnames=("n_bytes",))
+def _hash_words_jit(words: jnp.ndarray, n_bytes: int | None) -> jnp.ndarray:
     w = words.shape[-1]
     total = 4 * w if n_bytes is None else n_bytes
     n_blocks = max(1, -(-w // 16))

@@ -22,10 +22,11 @@ coefficients and running a larger evaluate() performs low-degree extension
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import m31
@@ -91,18 +92,21 @@ def get_twiddles(log_size: int) -> Twiddles:
         r = bit_reverse_indices(log_size - 1 - L) if cnt > 1 else np.array([0], np.uint32)
         fwd.append(x[:cnt][r].astype(np.uint32))
         x = _pi(x)
+    # Cache HOST arrays only: jnp constants created inside a jit trace would
+    # leak tracers through the lru_cache.
     inv = tuple(m31.np_inv(t) for t in fwd)
-    return Twiddles(
-        log_size,
-        tuple(jnp.asarray(t) for t in fwd),
-        tuple(jnp.asarray(t) for t in inv),
-    )
+    return Twiddles(log_size, tuple(fwd), inv)
 
 
 def interpolate(values: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
     """Circle evaluation (bit-reversed order, length 2^n) -> coefficients
     (natural order). Inverse of evaluate() on the same-size domain."""
     n = int(values.shape[-1]).bit_length() - 1 if log_size is None else log_size
+    return _interpolate_jit(values, n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _interpolate_jit(values: jnp.ndarray, n: int) -> jnp.ndarray:
     tw = get_twiddles(n)
     v = values
     for L in range(n):
@@ -110,7 +114,7 @@ def interpolate(values: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray
         v = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
         a = v[..., 0, :]
         b = v[..., 1, :]
-        t_inv = tw.inv[L].reshape((blocks, 1))
+        t_inv = jnp.asarray(tw.inv[L]).reshape((blocks, 1))
         s = m31.add(a, b)
         d = m31.mul(m31.sub(a, b), t_inv)
         v = jnp.stack([s, d], axis=-2).reshape(v.shape[:-3] + (1 << n,))
@@ -124,6 +128,11 @@ def evaluate(coeffs: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
     blowup) -> circle evaluation on the canonic domain of size 2^n in
     bit-reversed order. n defaults to len(coeffs)."""
     n = int(coeffs.shape[-1]).bit_length() - 1 if log_size is None else log_size
+    return _evaluate_jit(coeffs, n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _evaluate_jit(coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
     tw = get_twiddles(n)
     v = coeffs
     for L in reversed(range(n)):
@@ -131,7 +140,7 @@ def evaluate(coeffs: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
         v = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
         a = v[..., 0, :]
         b = v[..., 1, :]
-        t = tw.fwd[L].reshape((blocks, 1))
+        t = jnp.asarray(tw.fwd[L]).reshape((blocks, 1))
         tb = m31.mul(b, t)
         u0 = m31.add(a, tb)
         u1 = m31.sub(a, tb)

@@ -23,6 +23,7 @@ from functools import lru_cache
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import m31, merkle, qm31
@@ -49,14 +50,18 @@ def _line_fold_itw(line_log_size: int) -> np.ndarray:
     return m31.np_inv((2 * x.astype(np.uint64)) % P_INT)
 
 
-def _fold(values: jnp.ndarray, itw: jnp.ndarray, beta: tuple) -> jnp.ndarray:
+@jax.jit
+def _fold_jit(values: jnp.ndarray, itw: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
     """One fold of a QM31 evaluation (4, 2N) -> (4, N)."""
     a = values[:, 0::2]
     b = values[:, 1::2]
     s = qm31.mul_m31(m31.add(a, b), jnp.uint32(_INV2))
-    d = qm31.mul_m31(m31.sub(a, b), jnp.asarray(itw))
-    bdev = jnp.asarray(np.array(beta, np.uint32)).reshape(4, 1)
-    return qm31.add(s, qm31.mul(bdev, d))
+    d = qm31.mul_m31(m31.sub(a, b), itw)
+    return qm31.add(s, qm31.mul(beta.reshape(4, 1), d))
+
+
+def _fold(values, itw, beta: tuple):
+    return _fold_jit(values, jnp.asarray(itw), jnp.asarray(np.array(beta, np.uint32)))
 
 
 def fold_circle(values: jnp.ndarray, beta: tuple, log_size: int) -> jnp.ndarray:

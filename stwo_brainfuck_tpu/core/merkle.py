@@ -93,15 +93,26 @@ class MerkleDecommitment:
         )
 
 
-def _needed_positions(queries: Sequence[int], max_log: int) -> Dict[int, List[int]]:
-    needed = {}
+def _needed_positions(queries, max_log: int) -> Dict[int, List[int]]:
+    """Expand query positions into per-level needed sets.
+
+    `queries` is either a sequence of deepest-level positions, or an explicit
+    dict {level: positions}. Every level's needed set additionally includes
+    the parents of the level below (hash recomputation path)."""
+    if not isinstance(queries, dict):
+        queries = {max_log: list(queries)}
+    needed: Dict[int, List[int]] = {}
+    below: set = set()
     for k in range(max_log, -1, -1):
-        needed[k] = sorted({q >> (max_log - k) for q in queries})
+        cur = set(queries.get(k, ())) | {p >> 1 for p in below}
+        needed[k] = sorted(cur)
+        below = cur
     return needed
 
 
-def decommit(tree: MerkleTree, queries: Sequence[int]) -> MerkleDecommitment:
-    """Produce the witness for query positions (indices into level max_log)."""
+def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
+    """Produce the witness for query positions: either a list of positions at
+    the deepest level, or a dict {level: positions} (explicit per-level)."""
     max_log = tree.max_log
     needed = _needed_positions(queries, max_log)
     out = MerkleDecommitment()
@@ -130,13 +141,14 @@ class MerkleVerificationError(Exception):
 def verify(
     root: bytes,
     column_log_sizes: Dict[int, int],
-    queries: Sequence[int],
+    queries,
     decommitment: MerkleDecommitment,
     max_log: int | None = None,
 ) -> Dict[int, List[List[int]]]:
     """Verify a decommitment against `root`.
 
     column_log_sizes: level -> number of columns at that level.
+    queries: deepest-level positions or explicit {level: positions}.
     Returns the verified column values (level -> per-column values at the
     level's needed positions) for use by the FRI/quotient checks.
     Raises MerkleVerificationError on any mismatch.

@@ -1,0 +1,136 @@
+"""Polynomial commitment scheme: per-phase commitment trees with blowup,
+OODS sampling, and query decommitment.
+
+TPU-native equivalent of stwo's CommitmentSchemeProver/Verifier
+(reference usage: crates/brainfuck_prover/src/brainfuck_air/mod.rs:486-500,
+:744-786). Each phase (preprocessed / main / interaction / composition)
+commits one Merkle tree over all its columns, each column low-degree-extended
+by the blowup and injected at its own tree level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import fft, merkle, poly
+from .circle import point_at_index, secure_point_add, secure_point_from_m31, M31_CIRCLE_LOG_ORDER
+
+
+@dataclass
+class PcsConfig:
+    log_blowup: int = 1
+    n_queries: int = 20
+    pow_bits: int = 10
+    log_max_rows: int = 24
+
+    def mix_into(self, channel) -> None:
+        channel.mix_u32s([self.log_blowup, self.n_queries, self.pow_bits, self.log_max_rows])
+
+    def to_json(self):
+        return {
+            "log_blowup": self.log_blowup,
+            "n_queries": self.n_queries,
+            "pow_bits": self.pow_bits,
+            "log_max_rows": self.log_max_rows,
+        }
+
+    @staticmethod
+    def from_json(obj) -> "PcsConfig":
+        return PcsConfig(**obj)
+
+
+@dataclass
+class ColumnRecord:
+    log_size: int                 # trace domain log
+    coeffs: jnp.ndarray           # (2^log,) M31 coefficients
+    extended: jnp.ndarray         # (2^(log+blowup),) evaluation, bit-rev order
+
+
+class TreeProver:
+    """One committed phase: extend columns, commit, sample, decommit."""
+
+    def __init__(self, columns: Sequence[Tuple[int, jnp.ndarray]], config: PcsConfig, channel):
+        """columns: list of (log_size, trace-domain evaluation). Columns of a
+        common size are batched through one interpolate/extend FFT."""
+        self.config = config
+        groups: Dict[int, List[int]] = {}
+        for i, (log_size, _) in enumerate(columns):
+            groups.setdefault(log_size, []).append(i)
+        coeffs_all: Dict[int, jnp.ndarray] = {}
+        ext_all: Dict[int, jnp.ndarray] = {}
+        for log_size, idxs in groups.items():
+            mat = jnp.stack([jnp.asarray(columns[i][1], jnp.uint32) for i in idxs])
+            coeffs = fft.interpolate(mat, log_size)
+            pad = (1 << (log_size + config.log_blowup)) - (1 << log_size)
+            ext = fft.evaluate(jnp.pad(coeffs, ((0, 0), (0, pad))),
+                               log_size + config.log_blowup)
+            coeffs_all[log_size] = coeffs
+            ext_all[log_size] = ext
+        self.records: List[ColumnRecord] = []
+        pos: Dict[int, int] = {k: 0 for k in groups}
+        for log_size, _ in columns:
+            j = pos[log_size]
+            pos[log_size] = j + 1
+            self.records.append(ColumnRecord(
+                log_size, coeffs_all[log_size][j], ext_all[log_size][j]))
+        by_level: Dict[int, List[jnp.ndarray]] = {}
+        for rec in self.records:
+            by_level.setdefault(rec.log_size + config.log_blowup, []).append(rec.extended)
+        self.tree = merkle.commit(by_level)
+        channel.mix_root(self.tree.root)
+
+    @property
+    def root(self) -> bytes:
+        return self.tree.root
+
+    def sample_at_points(self, points_per_column: Sequence[Sequence]) -> List[List[tuple]]:
+        """points_per_column[i]: list of QM31 circle points for column i.
+        Returns per-column lists of sampled QM31 values. Columns sharing
+        (log_size, point) are batched into one basis evaluation."""
+        groups: Dict[Tuple[int, tuple], List[Tuple[int, int]]] = {}
+        for ci, pts in enumerate(points_per_column):
+            log = self.records[ci].log_size
+            for pi, pt in enumerate(pts):
+                key = (log, (tuple(pt[0]), tuple(pt[1])))
+                groups.setdefault(key, []).append((ci, pi))
+        out: List[List[Optional[tuple]]] = [[None] * len(p) for p in points_per_column]
+        for (log, pt), members in groups.items():
+            mat = jnp.stack([self.records[ci].coeffs for ci, _ in members])
+            vals = poly.eval_columns_at_point(mat, pt)
+            for (ci, pi), v in zip(members, vals):
+                out[ci][pi] = v
+        return out  # type: ignore[return-value]
+
+    def decommit(self, positions_by_level: Dict[int, List[int]]) -> merkle.MerkleDecommitment:
+        return merkle.decommit(self.tree, positions_by_level)
+
+    def column_levels(self) -> Dict[int, int]:
+        by_level: Dict[int, int] = {}
+        for rec in self.records:
+            lvl = rec.log_size + self.config.log_blowup
+            by_level[lvl] = by_level.get(lvl, 0) + 1
+        return by_level
+
+
+def shifted_point(z, log_size: int, shift: int):
+    """z - shift * g_{log_size} (the mask offset point for prefix-sum
+    columns). g is the trace-domain step, index 2^(31-log_size)."""
+    if shift == 0:
+        return z
+    idx = (-shift * (1 << (M31_CIRCLE_LOG_ORDER - log_size))) % (1 << M31_CIRCLE_LOG_ORDER)
+    return secure_point_add(z, secure_point_from_m31(point_at_index(idx)))
+
+
+def query_positions_by_level(
+    queries: Sequence[int], s_max: int, levels: Sequence[int]
+) -> Dict[int, List[int]]:
+    """For each commitment level, the projected query positions with their
+    fold-siblings (both halves of each first-fold pair)."""
+    out: Dict[int, List[int]] = {}
+    for s in levels:
+        out[s] = sorted({(q >> (s_max - s)) ^ b for q in queries for b in (0, 1)})
+    return out

@@ -32,20 +32,40 @@ def sum_mod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return x[..., 0]
 
 
-def secure_basis_at_point(log_size: int, point) -> jnp.ndarray:
-    """QM31 values of the 2^log_size circle-FFT basis functions at a QM31
-    circle point: basis_j = y^{j0} x^{j1} pi(x)^{j2} ... (device, (4, N))."""
+def _point_factors(log_size: int, point) -> np.ndarray:
+    """Host: the per-bit basis factors [y, x, pi(x), ...] at a QM31 point."""
     x, y = point
     factors = [y]
     cur = x
     for _ in range(log_size - 1):
         factors.append(cur)
         cur = qm31.h_sub(qm31.h_mul(cur, qm31.h_add(cur, cur)), qm31.ONE)  # 2c^2-1
+    return np.array(factors, np.uint32)  # (log_size, 4)
+
+
+from functools import partial
+import jax
+
+
+@partial(jax.jit, static_argnames=("log_size",))
+def _basis_from_factors(factors: jnp.ndarray, log_size: int) -> jnp.ndarray:
     basis = qm31.one((1,))
-    for f in factors:
-        fv = jnp.asarray(np.array(f, np.uint32)).reshape(4, 1)
+    for k in range(log_size):
+        fv = factors[k].reshape(4, 1)
         basis = jnp.concatenate([basis, qm31.mul(basis, fv)], axis=1)
     return basis
+
+
+def secure_basis_at_point(log_size: int, point) -> jnp.ndarray:
+    """QM31 values of the 2^log_size circle-FFT basis functions at a QM31
+    circle point: basis_j = y^{j0} x^{j1} pi(x)^{j2} ... (device, (4, N))."""
+    return _basis_from_factors(jnp.asarray(_point_factors(log_size, point)), log_size)
+
+
+@jax.jit
+def _dot_basis(coeff_matrix: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    prods = m31.mul(coeff_matrix[None, :, :], basis[:, None, :])  # (4, C, N)
+    return sum_mod(prods, axis=-1)  # (4, C)
 
 
 def eval_columns_at_point(coeff_matrix: jnp.ndarray, point) -> List[Tuple[int, int, int, int]]:
@@ -54,10 +74,7 @@ def eval_columns_at_point(coeff_matrix: jnp.ndarray, point) -> List[Tuple[int, i
     n = int(coeff_matrix.shape[-1])
     log_size = n.bit_length() - 1
     basis = secure_basis_at_point(log_size, point)  # (4, N)
-    # value[c] = sum_j coeffs[c, j] * basis[:, j]
-    prods = m31.mul(coeff_matrix[None, :, :], basis[:, None, :])  # (4, C, N)
-    vals = sum_mod(prods, axis=-1)  # (4, C)
-    arr = np.asarray(vals)
+    arr = np.asarray(_dot_basis(coeff_matrix, basis))
     return [tuple(int(arr[k, c]) for k in range(4)) for c in range(arr.shape[1])]
 
 

@@ -213,6 +213,19 @@ ZERO = (0, 0, 0, 0)
 ONE = (1, 0, 0, 0)
 
 
+def h_recombine(coords):
+    """Reassemble a QM31 value from the QM31-valued samples of its 4 M31
+    coordinate polynomials: v = c0 + c1*i + c2*u + c3*iu."""
+    i = (0, 1, 0, 0)
+    u = (0, 0, 1, 0)
+    iu = (0, 0, 0, 1)
+    out = coords[0]
+    out = h_add(out, h_mul(coords[1], i))
+    out = h_add(out, h_mul(coords[2], u))
+    out = h_add(out, h_mul(coords[3], iu))
+    return out
+
+
 def _compute_frobenius_c():
     """c = (2+i)^((p-1)/2) in CM31: the twist factor of the Frobenius map
     phi(a + b u) = conj(a) + conj(b) * c * u (since phi(i) = -i and

@@ -20,10 +20,11 @@ of stwo's CM31 complex conjugation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import m31, qm31
@@ -70,8 +71,44 @@ def _line_and_vanishing_coeffs(point, value):
     return l0, s, dy, dx, v_const
 
 
-def _dev(t):
-    return jnp.asarray(np.array(t, np.uint32)).reshape(4, 1)
+_CLAIM_CHUNK = 32  # bound peak memory of the (4, M, N) batched quotient
+
+
+@partial(jax.jit, static_argnames=("n_claims",))
+def _accumulate_chunk(f_all, consts, px, py, n_claims):
+    """Batched quotients for one chunk of claims.
+
+    f_all: (M, N) gathered M31 column evaluations; consts: (6, M, 4) host
+    constants [L0, S, DY, DX, VC, AW]; px/py: (N,) domain coordinates.
+    Returns the alpha-weighted QM31 sum over the chunk, (4, N)."""
+    def c(i):  # (M, 4) -> (4, M, 1) broadcast shape
+        return jnp.transpose(consts[i]).reshape(4, n_claims, 1)
+
+    l0, s, dy, dx, vc, aw = (c(i) for i in range(6))
+    fq = f_all[None, :, :]          # (1, M, N) M31 embedded below
+    pyq = py[None, None, :]
+    pxq = px[None, None, :]
+
+    def embed(x):  # M31 broadcastable -> QM31 (4, M, N)-broadcast
+        return jnp.concatenate([x, jnp.zeros((3,) + x.shape[1:], jnp.uint32)], axis=0)
+
+    f_emb = embed(fq)
+    py_emb = embed(pyq)
+    px_emb = embed(pxq)
+    num = qm31.sub(f_emb, qm31.add(l0, qm31.mul(s, py_emb)))
+    van = qm31.add(qm31.sub(qm31.mul(dy, px_emb), qm31.mul(dx, py_emb)), vc)
+    q = qm31.mul(num, qm31.inv(van))
+    weighted = qm31.mul(aw, q)
+    # modular sum over the claim axis (axis 1 of (4, M, N))
+    acc = weighted
+    while acc.shape[1] > 1:
+        m = acc.shape[1]
+        if m % 2:
+            acc = jnp.concatenate(
+                [acc, jnp.zeros((4, 1, acc.shape[2]), jnp.uint32)], axis=1)
+            m += 1
+        acc = m31.add(acc[:, 0::2], acc[:, 1::2])
+    return acc[:, 0]
 
 
 def accumulate_quotients(
@@ -86,28 +123,31 @@ def accumulate_quotients(
     xs, ys = domain_points_storage(log_size)
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
-    acc = None
-    for col, col_claims in zip(columns, claims):
-        f = col
+
+    flat: List[Tuple[int, QuotientClaim]] = []
+    for ci, col_claims in enumerate(claims):
         for c in col_claims:
-            l0, s, dy, dx, v_const = _line_and_vanishing_coeffs(c.point, c.value)
-            # numerator: f(p) - l(p) = f - l0 - s*p.y
-            num = qm31.sub(
-                qm31.from_m31(f),
-                qm31.add(_dev(l0), qm31.mul(_dev(s), qm31.from_m31(py))),
-            )
-            # vanishing: p.x*dy - p.y*dx + v_const
-            van = qm31.add(
-                qm31.sub(
-                    qm31.mul(_dev(dy), qm31.from_m31(px)),
-                    qm31.mul(_dev(dx), qm31.from_m31(py)),
-                ),
-                _dev(v_const),
-            )
-            q = qm31.mul(num, qm31.inv(van))
-            aw = _dev(qm31.h_pow(alpha, c.alpha_index))
-            term = qm31.mul(aw, q)
-            acc = term if acc is None else qm31.add(acc, term)
+            flat.append((ci, c))
+
+    col_mat = jnp.stack(list(columns))
+    acc = None
+    for start in range(0, len(flat), _CLAIM_CHUNK):
+        chunk = flat[start : start + _CLAIM_CHUNK]
+        m = len(chunk)
+        consts = np.empty((6, m, 4), np.uint32)
+        idxs = np.empty(m, np.int32)
+        for i, (ci, c) in enumerate(chunk):
+            l0, s, dy, dx, vc = _line_and_vanishing_coeffs(c.point, c.value)
+            consts[0, i] = l0
+            consts[1, i] = s
+            consts[2, i] = dy
+            consts[3, i] = dx
+            consts[4, i] = vc
+            consts[5, i] = qm31.h_pow(alpha, c.alpha_index)
+            idxs[i] = ci
+        f_all = jnp.take(col_mat, jnp.asarray(idxs), axis=0)
+        part = _accumulate_chunk(f_all, jnp.asarray(consts), px, py, m)
+        acc = part if acc is None else qm31.add(acc, part)
     assert acc is not None
     return acc
 

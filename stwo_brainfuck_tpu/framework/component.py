@@ -35,6 +35,7 @@ from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import m31, qm31
@@ -73,6 +74,14 @@ class LookupElements:
         for _ in range(self.size - 1):
             powers.append(qm31.h_mul(powers[-1], self.alpha))
         return powers
+
+    def device(self) -> Dict[str, np.ndarray]:
+        """Traced-argument form for jitted device code (values as arrays so
+        per-proof randomness does not bake into compiled executables)."""
+        return {
+            "alpha_powers": np.array(self.alpha_powers, np.uint32),
+            "z": np.array(self.z, np.uint32),
+        }
 
     # host combine (python QM31 tuples or ints)
     def combine_host(self, values: Sequence) -> tuple:
@@ -123,15 +132,17 @@ class _DeviceOps:
 class Expr:
     """Lightweight wrapper so constraint definitions read algebraically.
 
-    Wraps either a device QM31 array (4, N) or a host QM31 tuple. Integers
-    are lifted. All constraint code is written against this type.
-    """
+    Host mode wraps QM31 tuples. Device mode tracks the field kind: main
+    trace columns stay M31 arrays (shape (N,)) and only promote to QM31
+    (shape (4, N)) when combined with extension-field values — base-field
+    constraints are ~10x cheaper on the VPU (and compile ~10x faster)."""
 
-    __slots__ = ("v", "host")
+    __slots__ = ("v", "host", "qm")
 
-    def __init__(self, v, host: bool):
+    def __init__(self, v, host: bool, qm: bool = True):
         self.v = v
         self.host = host
+        self.qm = qm
 
     def _lift(self, other) -> "Expr":
         if isinstance(other, Expr):
@@ -139,31 +150,48 @@ class Expr:
         if isinstance(other, int):
             if self.host:
                 return Expr((other % P_INT, 0, 0, 0), True)
-            n = self.v.shape[1:]
-            arr = qm31.from_m31(jnp.full(n, other % P_INT, jnp.uint32))
-            return Expr(arr, False)
+            return Expr(jnp.uint32(other % P_INT), False, qm=False)
         raise TypeError(type(other))
+
+    def _qm(self) -> "Expr":
+        if self.qm:
+            return self
+        return Expr(qm31.from_m31(jnp.atleast_1d(self.v)), False, True)
 
     def __add__(self, other):
         o = self._lift(other)
-        return Expr(qm31.h_add(self.v, o.v) if self.host else qm31.add(self.v, o.v), self.host)
+        if self.host:
+            return Expr(qm31.h_add(self.v, o.v), True)
+        if self.qm or o.qm:
+            return Expr(qm31.add(self._qm().v, o._qm().v), False, True)
+        return Expr(m31.add(self.v, o.v), False, False)
 
     def __sub__(self, other):
         o = self._lift(other)
-        return Expr(qm31.h_sub(self.v, o.v) if self.host else qm31.sub(self.v, o.v), self.host)
+        if self.host:
+            return Expr(qm31.h_sub(self.v, o.v), True)
+        if self.qm or o.qm:
+            return Expr(qm31.sub(self._qm().v, o._qm().v), False, True)
+        return Expr(m31.add(self.v, m31.neg(o.v)), False, False)
 
     def __rsub__(self, other):
         return self._lift(other).__sub__(self)
 
     def __mul__(self, other):
         o = self._lift(other)
-        return Expr(qm31.h_mul(self.v, o.v) if self.host else qm31.mul(self.v, o.v), self.host)
+        if self.host:
+            return Expr(qm31.h_mul(self.v, o.v), True)
+        if self.qm or o.qm:
+            return Expr(qm31.mul(self._qm().v, o._qm().v), False, True)
+        return Expr(m31.mul(self.v, o.v), False, False)
 
     __radd__ = __add__
     __rmul__ = __mul__
 
     def __neg__(self):
-        return Expr(qm31.h_neg(self.v) if self.host else qm31.neg(self.v), self.host)
+        if self.host:
+            return Expr(qm31.h_neg(self.v), True)
+        return Expr(m31.neg(self.v), False, self.qm)
 
 
 # ---------------------------------------------------------------------------
@@ -214,13 +242,13 @@ class Evaluator:
         v = self._main[name]
         if self.host:
             return Expr(v, True)
-        return Expr(qm31.from_m31(v), False)
+        return Expr(v, False, qm=False)
 
     def is_first(self) -> Expr:
         v = self._is_first
         if self.host:
             return Expr(v, True)
-        return Expr(qm31.from_m31(v), False)
+        return Expr(v, False, qm=False)
 
     def add(self, expr: Expr) -> None:
         self.constraints.append(expr)
@@ -242,15 +270,9 @@ class Evaluator:
             if self.host:
                 den = Expr(els.combine_host([v.v for v in rel.values]), True)
             else:
-                # values are QM31-embedded columns; combine = sum a^i v_i - z
-                coeffs = jnp.asarray(np.array(els.alpha_powers, np.uint32))
-                acc = None
-                for a_idx, v in enumerate(rel.values):
-                    c = jnp.reshape(coeffs[a_idx], (4,) + (1,) * (v.v.ndim - 1))
-                    term = qm31.mul(c, v.v)
-                    acc = term if acc is None else qm31.add(acc, term)
-                z = jnp.reshape(jnp.asarray(np.array(els.z, np.uint32)), (4,) + (1,) * (acc.ndim - 1))
-                den = Expr(qm31.sub(acc, z), False)
+                # device mode: els is {"alpha_powers": (K,4), "z": (4,)}
+                # (traced arrays); values are M31 columns
+                den = Expr(_device_combine(els, [v.v for v in rel.values]), False)
             q_k = Expr(self._interaction[k], self.host)
             self.add(q_k * den - rel.numerator)
             q_sum = q_k if q_sum is None else q_sum + q_k
@@ -332,6 +354,53 @@ def _dummy_elements() -> Dict[str, LookupElements]:
 # Interaction trace building (prover, device)
 # ---------------------------------------------------------------------------
 
+def _device_combine(els_dev, values: List[jnp.ndarray]) -> jnp.ndarray:
+    """sum alpha^i * v_i - z with traced element arrays; values are M31."""
+    coeffs = els_dev["alpha_powers"]
+    acc = None
+    for a_idx, v in enumerate(values):
+        c = jnp.reshape(coeffs[a_idx], (4,) + (1,) * v.ndim)
+        term = m31.mul(c, v[None])
+        acc = term if acc is None else qm31.add(acc, term)
+    z = jnp.reshape(els_dev["z"], (4,) + (1,) * (acc.ndim - 1))
+    return qm31.sub(acc, z)
+
+
+@lru_cache(maxsize=None)
+def _interaction_fn(cls, log_size: int):
+    """Jitted interaction-trace builder for one component class/size."""
+    comp = cls(log_size)
+    perm = coset_order_permutation(log_size)
+
+    @jax.jit
+    def fn(main_cols: Dict[str, jnp.ndarray], elements_dev: Dict[str, dict]):
+        n = 1 << log_size
+        is_first = jnp.zeros(n, jnp.uint32).at[0].set(1)
+        ev = Evaluator(comp, main_cols, [], None, is_first, None,
+                       elements_dev, host=False)
+        ev.finalize_logup = lambda: None  # type: ignore[method-assign]
+        comp.define_constraints(ev)
+
+        q_cols: List[jnp.ndarray] = []
+        total = None
+        for rel in ev.relations:
+            den = _device_combine(elements_dev[rel.elements_name],
+                                  [v.v for v in rel.values])
+            q = qm31.mul(rel.numerator._qm().v, qm31.inv(den))
+            q_cols.append(q)
+            total = q if total is None else qm31.add(total, q)
+
+        # prefix sum in coset LINEAR order (where p - g is the previous
+        # point), scattered back to bit-reversed storage
+        p = jnp.asarray(perm)
+        lin = jnp.take(total, p, axis=1)
+        s_lin = _qm31_cumsum(lin)
+        s = jnp.zeros_like(s_lin).at[:, p].set(s_lin)
+        return q_cols, s, s_lin[:, -1]
+
+    return fn
+
+
 def build_interaction_trace(
     component: Component,
     main_cols: Dict[str, jnp.ndarray],
@@ -339,40 +408,39 @@ def build_interaction_trace(
 ) -> Tuple[List[jnp.ndarray], tuple]:
     """Compute the component's interaction columns on the TRACE domain.
 
-    Returns ([(4, N) QM31 arrays: Q_0..Q_{K-1}, S], claimed_sum host tuple).
+    Returns ([(4, N) QM31 arrays: Q_0..Q_{K-1}, S], claimed_sum host tuple)."""
+    fn = _interaction_fn(type(component), component.log_size)
+    els_dev = {k: e.device() for k, e in elements.items()}
+    q_cols, s, claimed = fn(main_cols, els_dev)
+    return list(q_cols) + [s], tuple(int(v) for v in np.asarray(claimed))
 
-    The trace arrays are in bit-reversed storage; the prefix sum must run in
-    NATURAL row order, so we permute, scan, and permute back.
-    """
-    n = component.log_size
-    perm = jnp.asarray(coset_order_permutation(n))
 
-    # Collect relations against the real columns (finalize skipped: the
-    # interaction columns are exactly what we are about to build). is_first
-    # is a real indicator array — relation numerators may reference it
-    # (EndOfExecutionComponent).
-    is_first = jnp.zeros(1 << n, jnp.uint32).at[0].set(1)
-    ev = Evaluator(component, main_cols, [], None, is_first, None, elements, host=False)
-    ev.finalize_logup = lambda: None  # type: ignore[method-assign]
-    component.define_constraints(ev)
+@lru_cache(maxsize=None)
+def _constraints_fn(cls, log_size: int):
+    """Jitted constraint evaluator for one component class/size; also applies
+    the alpha-power weighting and vanishing division so the whole composition
+    contribution is one fused executable."""
+    comp = cls(log_size)
 
-    q_cols: List[jnp.ndarray] = []
-    total = None
+    @jax.jit
+    def fn(main_cols, interaction_cols, s_prev, is_first, claimed_sum,
+           elements_dev, alpha_powers, v_inv):
+        claimed = jnp.reshape(claimed_sum, (4, 1))
+        ev = Evaluator(comp, main_cols, interaction_cols, s_prev, is_first,
+                       claimed, elements_dev, host=False)
+        comp.define_constraints(ev)
+        acc = None
+        for i, c in enumerate(ev.constraints):
+            aw = jnp.reshape(alpha_powers[i], (4, 1))
+            if c.qm:
+                term = qm31.mul(aw, c.v)
+            else:
+                # M31-valued constraint: QM31 weight * M31 value = 4 muls
+                term = m31.mul(aw, c.v[None])
+            acc = term if acc is None else qm31.add(acc, term)
+        return qm31.mul_m31(acc, v_inv)
 
-    for rel in ev.relations:
-        els = elements[rel.elements_name]
-        den = els.combine_device([v.v[0] for v in rel.values])
-        q = qm31.mul(rel.numerator.v, qm31.inv(den))
-        q_cols.append(q)
-        total = q if total is None else qm31.add(total, q)
-
-    # prefix sum in coset LINEAR order (the order in which p - g is the
-    # previous point), then scatter back to bit-reversed storage
-    lin = jnp.take(total, perm, axis=1)
-    s_lin = _qm31_cumsum(lin)
-    s = jnp.zeros_like(s_lin).at[:, perm].set(s_lin)
-    claimed = tuple(int(v) for v in np.asarray(s_lin[:, -1]))
-    return q_cols + [s], claimed
+    return fn, comp.constraint_count()
 
 
 def evaluate_constraints_device(
@@ -385,19 +453,48 @@ def evaluate_constraints_device(
     elements: Dict[str, LookupElements],
 ) -> List[jnp.ndarray]:
     """Evaluate every constraint of `component` pointwise over arrays
-    (trace domain for testing, blown-up domain for the composition poly).
+    (testing path — unweighted, one output per constraint).
 
     main_cols: M31 arrays; interaction_cols: QM31 (4, N) arrays
     [Q_0..Q_{K-1}, S]; s_prev: rotated S (value of S at p - g);
-    is_first: M31 indicator array. Returns one QM31 (4, N) array per
-    constraint, in definition order (the alpha-power order)."""
+    is_first: M31 indicator array."""
     claimed = jnp.reshape(jnp.asarray(np.array(claimed_sum, np.uint32)), (4, 1))
+    els_dev = {k: (e.device() if isinstance(e, LookupElements) else e)
+               for k, e in elements.items()}
     ev = Evaluator(
         component, main_cols, interaction_cols, s_prev, is_first, claimed,
-        elements, host=False,
+        els_dev, host=False,
     )
     component.define_constraints(ev)
     return [c.v for c in ev.constraints]
+
+
+def composition_contribution(
+    component: Component,
+    main_cols: Dict[str, jnp.ndarray],
+    interaction_cols: List[jnp.ndarray],
+    s_prev: jnp.ndarray,
+    is_first: jnp.ndarray,
+    claimed_sum: tuple,
+    elements: Dict[str, LookupElements],
+    alpha: tuple,
+    alpha_offset: int,
+    v_inv: jnp.ndarray,
+) -> Tuple[jnp.ndarray, int]:
+    """Sum_i alpha^(offset+i) * C_i / V over the evaluation domain (fused,
+    jitted per component class/size/shape). Returns (QM31 array, next
+    alpha offset)."""
+    fn, n_cons = _constraints_fn(type(component), component.log_size)
+    powers = np.empty((n_cons, 4), np.uint32)
+    for i in range(n_cons):
+        powers[i] = qm31.h_pow(alpha, alpha_offset + i)
+    els_dev = {k: e.device() for k, e in elements.items()}
+    out = fn(
+        main_cols, interaction_cols, s_prev, is_first,
+        jnp.asarray(np.array(claimed_sum, np.uint32)), els_dev,
+        jnp.asarray(powers), v_inv,
+    )
+    return out, alpha_offset + n_cons
 
 
 def evaluate_constraints_at_point(

@@ -1,0 +1,109 @@
+"""End-to-end prove -> verify tests (reference: brainfuck_air/mod.rs:799-859)
+plus tampering rejection (every proof field class)."""
+
+import copy
+import json
+
+import pytest
+
+from stwo_brainfuck_tpu import air
+from stwo_brainfuck_tpu.vm.compiler import compile_program
+from stwo_brainfuck_tpu.vm.machine import create_test_machine
+
+
+def make_proof(code, inp=b""):
+    m = create_test_machine(compile_program(code), inp)
+    m.execute()
+    return air.prove_brainfuck(m)
+
+
+@pytest.fixture(scope="module")
+def proof():
+    # the reference's test_proof program (mod.rs:805-816)
+    return make_proof("+++>,<[>+.<-]", b"\x01")
+
+
+def test_prove_verify_io_loop(proof):
+    air.verify_brainfuck(proof)
+
+
+def test_prove_verify_jump_middle():
+    # reference test_proof_jump_middle_of_program
+    air.verify_brainfuck(make_proof("++[-]+."))
+
+
+def test_proof_is_json_serializable(proof):
+    s = json.dumps(proof)
+    air.verify_brainfuck(json.loads(s))
+
+
+def _expect_fail(p):
+    with pytest.raises(air.VerificationError):
+        air.verify_brainfuck(p)
+
+
+def test_reject_tampered_claim(proof):
+    p = copy.deepcopy(proof)
+    p["claim"]["memory"] += 1
+    _expect_fail(p)
+
+
+def test_reject_tampered_interaction_claim(proof):
+    p = copy.deepcopy(proof)
+    p["interaction_claim"]["memory"][0] ^= 1
+    _expect_fail(p)  # LogUp sum breaks
+
+
+def test_reject_tampered_root(proof):
+    for t in range(4):
+        p = copy.deepcopy(proof)
+        root = bytearray(bytes.fromhex(p["commitments"][t]))
+        root[0] ^= 1
+        p["commitments"][t] = bytes(root).hex()
+        _expect_fail(p)
+
+
+def test_reject_tampered_sampled_value(proof):
+    p = copy.deepcopy(proof)
+    p["sampled_values"][1][0][0][0] ^= 1
+    _expect_fail(p)  # OODS identity or transcript breaks
+
+
+def test_reject_tampered_composition_sample(proof):
+    p = copy.deepcopy(proof)
+    p["sampled_values"][3][0][0][2] ^= 1
+    _expect_fail(p)
+
+
+def test_reject_tampered_fri_last_layer(proof):
+    p = copy.deepcopy(proof)
+    p["fri"]["last_layer_value"][0] ^= 1
+    _expect_fail(p)
+
+
+def test_reject_tampered_fri_layer_value(proof):
+    p = copy.deepcopy(proof)
+    lv = p["fri"]["layer_values"][0]
+    k = next(iter(lv))
+    lv[k][0] ^= 1
+    _expect_fail(p)
+
+
+def test_reject_wrong_pow(proof):
+    p = copy.deepcopy(proof)
+    p["pow_nonce"] += 1
+    _expect_fail(p)
+
+
+def test_reject_tampered_decommitment_value(proof):
+    p = copy.deepcopy(proof)
+    dec = p["decommitments"][1]["column_values"]
+    lvl = next(iter(dec))
+    dec[lvl][0][0] ^= 1
+    _expect_fail(p)
+
+
+def test_reject_truncated_proof(proof):
+    p = copy.deepcopy(proof)
+    del p["fri"]
+    _expect_fail(p)
