@@ -71,6 +71,32 @@ class Machine:
     # -- execution ----------------------------------------------------------
 
     def execute(self) -> None:
+        if self._try_execute_native():
+            return
+        self._execute_python()
+
+    def _try_execute_native(self) -> bool:
+        """Fast path: the C++ interpreter (csrc/bf_vm.cpp). Used when the
+        whole input is available up front (BytesIO); identical semantics
+        (cross-checked in tests)."""
+        from . import native
+
+        if not isinstance(self._input, io.BytesIO) or not native.available():
+            return False
+        pending = self._input.getvalue()[self._input.tell():]
+        try:
+            trace, out, ram = native.execute(self.code, pending, len(self.ram))
+        except RuntimeError as exc:
+            raise MachineError(str(exc))
+        self._native_trace = trace
+        self._output.write(out)
+        self.ram = [int(v) for v in ram]
+        if len(trace):
+            last = trace[-1]
+            self.registers = Registers(*(int(v) for v in last))
+        return True
+
+    def _execute_python(self) -> None:
         regs = self.registers
         code = self.code
         n = len(code)
@@ -130,6 +156,8 @@ class Machine:
     def trace(self) -> np.ndarray:
         """Execution trace as a (n_steps, 7) uint32 array in register order
         (clk, ip, ci, ni, mp, mv, mvi)."""
+        if getattr(self, "_native_trace", None) is not None:
+            return self._native_trace
         return np.asarray(self._trace, dtype=np.uint32).reshape(-1, 7)
 
     def program(self) -> List[int]:
