@@ -325,9 +325,31 @@ def verify_brainfuck(proof: dict) -> None:
 
     if set(claim) != {c.name for c in COMPONENT_CLASSES}:
         raise VerificationError("bad claim components")
-    layout = build_layout(claim, config)
+    for name, lg in claim.items():
+        if not (MIN_LOG_SIZE <= lg <= 28):
+            raise VerificationError(f"claim log_size out of range: {name}={lg}")
+    try:
+        layout = build_layout(claim, config)
+    except ProvingError as exc:
+        raise VerificationError(str(exc))
     comps = layout.components
     blow = config.log_blowup
+
+    # The preprocessed (is_first ladder) tree is a deterministic function of
+    # the config/claim — recompute its root instead of trusting the proof.
+    # (The reference verifier takes it from the proof, mod.rs:754-758, which
+    # would let a prover commit a fake is_first column and void every
+    # boundary constraint.)
+    class _NullChannel:
+        def mix_root(self, root):
+            pass
+
+    expected_tree0 = TreeProver(
+        [(lg, jnp.asarray(_is_first_column(lg))) for lg in layout.ladder],
+        config, _NullChannel(),
+    )
+    if expected_tree0.root != roots[0]:
+        raise VerificationError("preprocessed commitment mismatch")
 
     # transcript replay
     channel = Blake2sChannel()

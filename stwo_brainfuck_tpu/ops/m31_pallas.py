@@ -1,0 +1,134 @@
+"""Pallas TPU kernels for M31 field arithmetic.
+
+The jnp path (core/m31.py) already vectorizes well, but XLA materializes
+intermediates between fused ops at HBM bandwidth; these Pallas kernels keep
+the 16-bit limb decomposition entirely in VMEM/registers. They are the
+building blocks for fused butterfly/constraint kernels and the
+"M31 ops/s/chip" speed-of-light metric (BASELINE.md).
+
+All kernels fall back to the jnp implementation off-TPU (CPU tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import m31
+
+_P = jnp.uint32(0x7FFF_FFFF)
+_M16 = jnp.uint32(0xFFFF)
+
+_BLOCK = 1024  # rows per grid step (x 128 lanes)
+_LANES = 128
+
+
+def _mul_body(a, b):
+    a0 = a & _M16
+    a1 = a >> 16
+    b0 = b & _M16
+    b1 = b >> 16
+    t0 = a0 * b0
+    t1 = a0 * b1 + a1 * b0
+    t2 = a1 * b1
+    t1_lo = t1 << 16
+    lo = t0 + t1_lo
+    carry = (lo < t1_lo).astype(jnp.uint32)
+    hi = t2 + (t1 >> 16) + carry
+    r = (hi << 1) + (lo >> 31) + (lo & _P)
+    r = (r & _P) + (r >> 31)
+    return jnp.where(r >= _P, r - _P, r)
+
+
+def _mul_kernel(a_ref, b_ref, o_ref):
+    o_ref[:] = _mul_body(a_ref[:], b_ref[:])
+
+
+def _mul_add_kernel(a_ref, b_ref, c_ref, o_ref):
+    prod = _mul_body(a_ref[:], b_ref[:])
+    s = prod + c_ref[:]
+    s = (s & _P) + (s >> 31)
+    o_ref[:] = jnp.where(s >= _P, s - _P, s)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def _pallas_elementwise(kernel, n_in, x, *rest):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[-1]
+    rows = n // _LANES
+    blk = min(_BLOCK, rows)
+    grid = (rows // blk,)
+    spec = pl.BlockSpec((blk, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    args = [v.reshape(rows, _LANES) for v in (x,) + rest]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.uint32),
+        grid=grid,
+        in_specs=[spec] * n_in,
+        out_specs=spec,
+    )(*args)
+    return out.reshape(n)
+
+
+@jax.jit
+def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise M31 product; Pallas on TPU, jnp elsewhere. Requires the
+    flattened length to be a multiple of 128 on the Pallas path."""
+    if not _on_tpu() or a.shape[-1] % _LANES:
+        return m31.mul(a, b)
+    return _pallas_elementwise(_mul_kernel, 2, a, b)
+
+
+@jax.jit
+def mul_add(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """a*b + c mod p, fused."""
+    if not _on_tpu() or a.shape[-1] % _LANES:
+        return m31.add(m31.mul(a, b), c)
+    return _pallas_elementwise(_mul_add_kernel, 3, a, b, c)
+
+
+def throughput_benchmark(log_n: int = 24, iters: int = 50) -> dict:
+    """Measure M31 multiply throughput (ops/s/chip) for the Pallas and jnp
+    paths, with a chained kernel so the measurement is compute-bound."""
+    import time
+
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, int(m31.P), n, dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, int(m31.P), n, dtype=np.uint32))
+
+    chain = 8
+
+    @jax.jit
+    def chained_pallas(a, b):
+        x = a
+        for _ in range(chain):
+            x = mul(x, b)
+        return x
+
+    @jax.jit
+    def chained_jnp(a, b):
+        x = a
+        for _ in range(chain):
+            x = m31.mul(x, b)
+        return x
+
+    results = {}
+    for name, fn in (("pallas", chained_pallas), ("jnp", chained_jnp)):
+        out = fn(a, b)
+        out.block_until_ready()  # compile + warm
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(out, b)
+        out.block_until_ready()
+        dt = time.time() - t0
+        results[name] = chain * iters * n / dt
+    return results

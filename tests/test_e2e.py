@@ -107,3 +107,14 @@ def test_reject_truncated_proof(proof):
     p = copy.deepcopy(proof)
     del p["fri"]
     _expect_fail(p)
+
+
+def test_reject_forged_preprocessed_tree(proof):
+    """A prover must not be able to substitute its own preprocessed
+    (is_first) commitment — the verifier recomputes the expected root."""
+    p = copy.deepcopy(proof)
+    root = bytearray(bytes.fromhex(p["commitments"][0]))
+    root[5] ^= 0xFF
+    p["commitments"][0] = bytes(root).hex()
+    with pytest.raises(air.VerificationError, match="preprocessed"):
+        air.verify_brainfuck(p)
