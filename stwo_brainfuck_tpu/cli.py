@@ -128,9 +128,22 @@ def main(argv=None) -> int:
         format="%(asctime)s %(levelname)s %(message)s",
         stream=sys.stderr,
     )
-    if args.command == "prove":
-        return cmd_prove(args)
-    return cmd_verify(args)
+    from .vm.compiler import CompileError
+    from .vm.machine import MachineError
+
+    try:
+        if args.command == "prove":
+            return cmd_prove(args)
+        return cmd_verify(args)
+    except FileNotFoundError as exc:
+        log.error("%s: no such file", exc.filename)
+        return 2
+    except json.JSONDecodeError as exc:
+        log.error("invalid proof JSON: %s", exc)
+        return 2
+    except (CompileError, MachineError, air.ProvingError) as exc:
+        log.error("%s", exc)
+        return 2
 
 
 if __name__ == "__main__":

@@ -17,6 +17,22 @@ from .registers import TRACE_COLUMNS
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except FileNotFoundError as exc:
+        print(f"error: {exc.filename}: no such file", file=sys.stderr)
+        return 2
+    except Exception as exc:  # CompileError / MachineError -> clean message
+        from .compiler import CompileError
+        from .machine import MachineError
+
+        if isinstance(exc, (CompileError, MachineError)):
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        raise
+
+
+def _main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="brainfuck_vm", description=__doc__)
     parser.add_argument("file", help="path to a .bf program")
     parser.add_argument("--trace", action="store_true", help="print the execution trace")
