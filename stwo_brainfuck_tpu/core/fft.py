@@ -98,23 +98,39 @@ def get_twiddles(log_size: int) -> Twiddles:
     return Twiddles(log_size, tuple(fwd), inv)
 
 
+_DEV_TW_CACHE: dict = {}
+
+
+def _device_twiddles(n: int):
+    """Device copies of the twiddle stacks (created eagerly, passed as jit
+    arguments — never baked as constants, never re-uploaded per call)."""
+    if n not in _DEV_TW_CACHE:
+        t = get_twiddles(n)
+        _DEV_TW_CACHE[n] = (
+            tuple(jnp.asarray(x) for x in t.fwd),
+            tuple(jnp.asarray(x) for x in t.inv),
+        )
+    return _DEV_TW_CACHE[n]
+
+
 def interpolate(values: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
     """Circle evaluation (bit-reversed order, length 2^n) -> coefficients
     (natural order). Inverse of evaluate() on the same-size domain."""
     n = int(values.shape[-1]).bit_length() - 1 if log_size is None else log_size
-    return _interpolate_jit(values, n)
+    # Twiddles are passed as traced arguments: baking them in as constants
+    # makes XLA constant-fold multi-MB arrays at compile time.
+    return _interpolate_jit(values, _device_twiddles(n)[1], n)
 
 
 @partial(jax.jit, static_argnames=("n",))
-def _interpolate_jit(values: jnp.ndarray, n: int) -> jnp.ndarray:
-    tw = get_twiddles(n)
+def _interpolate_jit(values: jnp.ndarray, inv_tw, n: int) -> jnp.ndarray:
     v = values
     for L in range(n):
         blocks = 1 << (n - 1 - L)
         v = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
         a = v[..., 0, :]
         b = v[..., 1, :]
-        t_inv = jnp.asarray(tw.inv[L]).reshape((blocks, 1))
+        t_inv = inv_tw[L].reshape((blocks, 1))
         s = m31.add(a, b)
         d = m31.mul(m31.sub(a, b), t_inv)
         v = jnp.stack([s, d], axis=-2).reshape(v.shape[:-3] + (1 << n,))
@@ -128,19 +144,18 @@ def evaluate(coeffs: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
     blowup) -> circle evaluation on the canonic domain of size 2^n in
     bit-reversed order. n defaults to len(coeffs)."""
     n = int(coeffs.shape[-1]).bit_length() - 1 if log_size is None else log_size
-    return _evaluate_jit(coeffs, n)
+    return _evaluate_jit(coeffs, _device_twiddles(n)[0], n)
 
 
 @partial(jax.jit, static_argnames=("n",))
-def _evaluate_jit(coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
-    tw = get_twiddles(n)
+def _evaluate_jit(coeffs: jnp.ndarray, fwd_tw, n: int) -> jnp.ndarray:
     v = coeffs
     for L in reversed(range(n)):
         blocks = 1 << (n - 1 - L)
         v = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
         a = v[..., 0, :]
         b = v[..., 1, :]
-        t = jnp.asarray(tw.fwd[L]).reshape((blocks, 1))
+        t = fwd_tw[L].reshape((blocks, 1))
         tb = m31.mul(b, t)
         u0 = m31.add(a, tb)
         u1 = m31.sub(a, tb)

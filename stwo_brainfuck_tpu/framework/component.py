@@ -368,12 +368,14 @@ def _device_combine(els_dev, values: List[jnp.ndarray]) -> jnp.ndarray:
 
 @lru_cache(maxsize=None)
 def _interaction_fn(cls, log_size: int):
-    """Jitted interaction-trace builder for one component class/size."""
+    """Jitted interaction-trace builder for one component class/size. The
+    linear-order permutation is a traced argument (constants of this size
+    trigger slow XLA constant folding)."""
     comp = cls(log_size)
-    perm = coset_order_permutation(log_size)
 
     @jax.jit
-    def fn(main_cols: Dict[str, jnp.ndarray], elements_dev: Dict[str, dict]):
+    def fn(main_cols: Dict[str, jnp.ndarray], elements_dev: Dict[str, dict],
+           perm: jnp.ndarray):
         n = 1 << log_size
         is_first = jnp.zeros(n, jnp.uint32).at[0].set(1)
         ev = Evaluator(comp, main_cols, [], None, is_first, None,
@@ -392,13 +394,21 @@ def _interaction_fn(cls, log_size: int):
 
         # prefix sum in coset LINEAR order (where p - g is the previous
         # point), scattered back to bit-reversed storage
-        p = jnp.asarray(perm)
-        lin = jnp.take(total, p, axis=1)
+        lin = jnp.take(total, perm, axis=1)
         s_lin = _qm31_cumsum(lin)
-        s = jnp.zeros_like(s_lin).at[:, p].set(s_lin)
+        s = jnp.zeros_like(s_lin).at[:, perm].set(s_lin)
         return q_cols, s, s_lin[:, -1]
 
     return fn
+
+
+_DEV_PERM_CACHE: dict = {}
+
+
+def _device_perm(log_size: int) -> jnp.ndarray:
+    if log_size not in _DEV_PERM_CACHE:
+        _DEV_PERM_CACHE[log_size] = jnp.asarray(coset_order_permutation(log_size))
+    return _DEV_PERM_CACHE[log_size]
 
 
 def build_interaction_trace(
@@ -411,7 +421,7 @@ def build_interaction_trace(
     Returns ([(4, N) QM31 arrays: Q_0..Q_{K-1}, S], claimed_sum host tuple)."""
     fn = _interaction_fn(type(component), component.log_size)
     els_dev = {k: e.device() for k, e in elements.items()}
-    q_cols, s, claimed = fn(main_cols, els_dev)
+    q_cols, s, claimed = fn(main_cols, els_dev, _device_perm(component.log_size))
     return list(q_cols) + [s], tuple(int(v) for v in np.asarray(claimed))
 
 
