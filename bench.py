@@ -28,6 +28,21 @@ def main() -> int:
     from stwo_brainfuck_tpu.vm.machine import create_test_machine
 
     program = os.environ.get("BENCH_PROGRAM", "fib19")
+
+    if program == "m31":
+        # microbenchmark mode: M31 multiply throughput per chip
+        from stwo_brainfuck_tpu.ops.m31_pallas import throughput_benchmark
+
+        r = throughput_benchmark(log_n=24, iters=30)
+        best = max(r.values())
+        print(json.dumps({
+            "metric": "M31 multiply throughput per chip",
+            "value": round(best / 1e9, 2),
+            "unit": "Gop/s",
+            "vs_baseline": 1.0,
+            "paths": {k: round(v / 1e9, 2) for k, v in r.items()},
+        }))
+        return 0
     path = f"/root/reference/brainfuck_programs/{program}.bf"
     inputs = {"collatz": b"7\n", "a-bc": b"a"}.get(program, b"")
 

@@ -19,8 +19,10 @@ import jax.numpy as jnp
 
 from ..core import m31
 
-_P = jnp.uint32(0x7FFF_FFFF)
-_M16 = jnp.uint32(0xFFFF)
+# numpy scalars: literals inside Pallas kernels (jnp scalars would be
+# captured tracer constants, which pallas_call rejects)
+_P = np.uint32(0x7FFF_FFFF)
+_M16 = np.uint32(0xFFFF)
 
 _BLOCK = 1024  # rows per grid step (x 128 lanes)
 _LANES = 128
