@@ -39,7 +39,13 @@ def _main(argv=None) -> int:
     parser.add_argument("--memory", action="store_true", help="print the RAM contents")
     parser.add_argument("--ram-size", type=int, default=DEFAULT_RAM_SIZE)
     parser.add_argument("--input", default=None, help="program input as a literal string (else stdin)")
+    parser.add_argument("--log", default="warning", help="log level (brainfuck_vm.rs --log)")
     args = parser.parse_args(argv)
+
+    import logging
+
+    logging.basicConfig(level=getattr(logging, args.log.upper(), logging.WARNING),
+                        stream=sys.stderr)
 
     with open(args.file) as f:
         code = compile_program(f.read())
