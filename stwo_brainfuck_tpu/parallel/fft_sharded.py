@@ -1,0 +1,121 @@
+"""Sharded circle FFT: evaluation/interpolation over a device mesh.
+
+The evaluation array (bit-reversed storage) is split into contiguous chunks
+of N/D positions per device. Stage L has butterfly stride 2^L:
+
+- local stages (2^(L+1) <= N/D): blocks never cross a shard boundary; the
+  butterflies and twiddle slices are fully local (identical code to the
+  single-chip FFT on the chunk);
+- cross stages (2^L >= N/D, the top log2(D) stages): each shard's positions
+  all share one block and one twiddle; partners are shards i and i^dist with
+  dist = 2^L/(N/D). One ppermute exchanges partner chunks per stage (rides
+  ICI neighbor links for adjacent dist), the lower shard computes u0 = a+t*b,
+  the upper u1 = a-t*b.
+
+This is SURVEY.md §7 step 10 (stage-sharded CFFT, butterfly stages exchanged
+over the interconnect).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import m31
+from ..core.fft import get_twiddles
+from ..core.m31 import P_INT
+from .mesh import ROW_AXIS
+
+
+@lru_cache(maxsize=32)
+def _cross_twiddles(log_size: int, n_devices: int, inverse: bool) -> np.ndarray:
+    """Per-shard twiddle scalar for each cross stage.
+
+    Returns (n_cross, D) where entry [k, i] is the stage-(n-1-k) twiddle for
+    shard i (for the inverse FFT: 1/t; the /2 normalization is applied
+    globally)."""
+    n = log_size
+    local_log = n - int(np.log2(n_devices))
+    tw = get_twiddles(n)
+    cross = []
+    for L in range(n - 1, local_log - 1, -1):
+        vals = np.empty(n_devices, np.uint32)
+        for i in range(n_devices):
+            pos = i << local_log
+            t = pos >> (L + 1)
+            vals[i] = tw.fwd[L][t]
+        cross.append(m31.np_inv(vals) if inverse else vals)
+    return np.stack(cross) if cross else np.zeros((0, n_devices), np.uint32)
+
+
+@lru_cache(maxsize=32)
+def _local_twiddles(log_size: int, n_devices: int, inverse: bool):
+    """Sharded twiddle arrays for the local stages: for stage L, the full
+    fwd[L]/inv[L] array (length 2^(n-1-L) >= D) — sharded along the axis."""
+    n = log_size
+    local_log = n - int(np.log2(n_devices))
+    tw = get_twiddles(n)
+    out = []
+    for L in range(local_log - 1, -1, -1):
+        out.append(tw.inv[L] if inverse else tw.fwd[L])
+    return out  # ordered stage L = local_log-1 .. 0
+
+
+def make_sharded_evaluate(mesh: Mesh, log_size: int):
+    """Returns a jitted fn: coefficients (natural order, sharded) ->
+    evaluation (bit-reversed storage, sharded)."""
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n = log_size
+    local_log = n - int(np.log2(D))
+    assert 1 << (n - local_log) == D and local_log >= 1
+
+    cross_tw = jnp.asarray(_cross_twiddles(n, D, False))     # (n_cross, D)
+    local_tws = [jnp.asarray(t) for t in _local_twiddles(n, D, False)]
+
+    spec = P(ROW_AXIS)
+    local_specs = [P(ROW_AXIS) if t.shape[0] >= D else P(None) for t in local_tws]
+
+    def step(v, cross_t, *loc_tw):
+        me = jax.lax.axis_index(ROW_AXIS)
+        # cross stages: n-1 down to local_log
+        for k, L in enumerate(range(n - 1, local_log - 1, -1)):
+            dist = 1 << (L - local_log)
+            partner_perm = [(i, i ^ dist) for i in range(D)]
+            other = jax.lax.ppermute(v, ROW_AXIS, partner_perm)
+            t_me = cross_t[k, me]
+            is_lower = (me & dist) == 0
+            # lower shard: a = v, b = other -> u0 = a + t b
+            # upper shard: a = other, b = v -> u1 = a - t b
+            tb_low = m31.mul(other, t_me)
+            u0 = m31.add(v, tb_low)
+            tb_high = m31.mul(v, t_me)
+            u1 = m31.sub(other, tb_high)
+            v = jnp.where(is_lower, u0, u1)
+        # local stages: local_log-1 down to 0 (standard butterflies on chunk)
+        for k, L in enumerate(range(local_log - 1, -1, -1)):
+            tloc = loc_tw[k]
+            blocks = tloc.shape[0]  # per-shard block count
+            vv = v.reshape(blocks, 2, 1 << L)
+            a = vv[:, 0, :]
+            b = vv[:, 1, :]
+            t = tloc.reshape(blocks, 1)
+            tb = m31.mul(b, t)
+            v = jnp.stack([m31.add(a, tb), m31.sub(a, tb)], axis=1).reshape(-1)
+        return v
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(spec, P(None, None)) + tuple(local_specs),
+        out_specs=spec, check_vma=False,
+    )
+
+    def fn(coeffs):
+        return sharded(coeffs, cross_tw, *local_tws)
+
+    return jax.jit(fn)

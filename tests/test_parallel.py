@@ -84,3 +84,19 @@ def test_all_components_shard(tabs):
         assert not np.asarray(cons).any(), cls.name
         total = qm31.h_add(total, tuple(int(v) for v in np.asarray(claimed)))
     assert total == (0, 0, 0, 0)
+
+
+@pytest.mark.parametrize("log_size", [6, 10])
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_fft_matches_single_device(log_size, n_devices):
+    from stwo_brainfuck_tpu.core import fft
+    from stwo_brainfuck_tpu.parallel.fft_sharded import make_sharded_evaluate
+
+    rng = np.random.default_rng(11)
+    coeffs = rng.integers(0, 2**31 - 1, 1 << log_size, dtype=np.uint32)
+    expected = np.asarray(fft.evaluate(jnp.asarray(coeffs), log_size))
+
+    mesh = make_mesh(n_devices)
+    fn = make_sharded_evaluate(mesh, log_size)
+    got = np.asarray(fn(jnp.asarray(coeffs)))
+    np.testing.assert_array_equal(got, expected)
