@@ -119,3 +119,58 @@ def make_sharded_evaluate(mesh: Mesh, log_size: int):
         return sharded(coeffs, cross_tw, *local_tws)
 
     return jax.jit(fn)
+
+
+def make_sharded_interpolate(mesh: Mesh, log_size: int):
+    """Inverse: evaluation (bit-reversed, sharded) -> coefficients (natural
+    order, sharded). Local inverse stages first, then cross stages with
+    ppermute exchanges, then the global 1/2^n scale."""
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n = log_size
+    local_log = n - int(np.log2(D))
+    assert 1 << (n - local_log) == D and local_log >= 1
+
+    cross_itw = jnp.asarray(_cross_twiddles(n, D, True))     # (n_cross, D)
+    local_itws = [jnp.asarray(t) for t in _local_twiddles(n, D, True)]
+    scale = np.uint32(pow((P_INT + 1) // 2, n, P_INT))
+
+    spec = P(ROW_AXIS)
+
+    def step(v, cross_t, *loc_tw):
+        me = jax.lax.axis_index(ROW_AXIS)
+        # local inverse stages: 0 up to local_log-1
+        for k, L in enumerate(range(0, local_log)):
+            tloc = loc_tw[local_log - 1 - k]  # loc_tw ordered local_log-1..0
+            blocks = tloc.shape[0]
+            vv = v.reshape(blocks, 2, 1 << L)
+            a = vv[:, 0, :]
+            b = vv[:, 1, :]
+            it = tloc.reshape(blocks, 1)
+            s = m31.add(a, b)
+            d = m31.mul(m31.sub(a, b), it)
+            v = jnp.stack([s, d], axis=1).reshape(-1)
+        # cross inverse stages: local_log up to n-1
+        for k, L in enumerate(range(local_log, n)):
+            dist = 1 << (L - local_log)
+            partner_perm = [(i, i ^ dist) for i in range(D)]
+            other = jax.lax.ppermute(v, ROW_AXIS, partner_perm)
+            ck = n - 1 - L  # cross_t rows are ordered stage n-1..local_log
+            it_me = cross_t[ck, me]
+            is_lower = (me & dist) == 0
+            # lower holds a (u0), upper holds b (u1):
+            # s = a + b (at lower), d = (a - b) * itw (at upper)
+            s = m31.add(v, other)
+            d_high = m31.mul(m31.sub(other, v), it_me)  # upper: (a - b)*itw
+            v = jnp.where(is_lower, s, d_high)
+        return m31.mul(v, jnp.uint32(scale))
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(spec, P(None, None)) + tuple(P(ROW_AXIS) for _ in local_itws),
+        out_specs=spec, check_vma=False,
+    )
+
+    def fn(values):
+        return sharded(values, cross_itw, *local_itws)
+
+    return jax.jit(fn)

@@ -100,3 +100,26 @@ def test_sharded_fft_matches_single_device(log_size, n_devices):
     fn = make_sharded_evaluate(mesh, log_size)
     got = np.asarray(fn(jnp.asarray(coeffs)))
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_interpolate_roundtrip(n_devices):
+    from stwo_brainfuck_tpu.core import fft
+    from stwo_brainfuck_tpu.parallel.fft_sharded import (
+        make_sharded_evaluate,
+        make_sharded_interpolate,
+    )
+
+    log_size = 9
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 2**31 - 1, 1 << log_size, dtype=np.uint32)
+    expected_coeffs = np.asarray(fft.interpolate(jnp.asarray(vals), log_size))
+
+    mesh = make_mesh(n_devices)
+    interp = make_sharded_interpolate(mesh, log_size)
+    got = np.asarray(interp(jnp.asarray(vals)))
+    np.testing.assert_array_equal(got, expected_coeffs)
+
+    ev = make_sharded_evaluate(mesh, log_size)
+    back = np.asarray(ev(jnp.asarray(got)))
+    np.testing.assert_array_equal(back, vals)
