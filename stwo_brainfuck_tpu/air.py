@@ -245,9 +245,10 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
     t_oods = channel.draw_felt()
     z = point_from_t(t_oods)
     sampled: List[List[List[tuple]]] = []
-    for tree, metas in zip(trees, layout.trees):
+    for ti, (tree, metas) in enumerate(zip(trees, layout.trees)):
         pts = [[shifted_point(z, meta.log_size, s) for s in meta.shifts] for meta in metas]
         sampled.append(tree.sample_at_points(pts))
+        log.info("  sampled tree %d (%d columns)", ti, len(metas))
     for tvals in sampled:
         for cvals in tvals:
             channel.mix_felts([tuple(v) for v in cvals])
@@ -267,9 +268,11 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
             claims_by_size.setdefault(size, []).append((rec.extended, cl))
     fri_inputs = {}
     for size, pairs in claims_by_size.items():
+        log.info("  quotients size 2^%d (%d columns)", size, len(pairs))
         fri_inputs[size] = quotients.accumulate_quotients(
             size, [p[0] for p in pairs], [p[1] for p in pairs], alpha_q
         )
+        fri_inputs[size].block_until_ready()
 
     log.info("FRI")
     fri_prover = fri.fri_commit(fri_inputs, channel)

@@ -71,44 +71,39 @@ def _line_and_vanishing_coeffs(point, value):
     return l0, s, dy, dx, v_const
 
 
-_CLAIM_CHUNK = 32  # bound peak memory of the (4, M, N) batched quotient
-
-
-@partial(jax.jit, static_argnames=("n_claims",))
-def _accumulate_chunk(f_all, consts, px, py, n_claims):
-    """Batched quotients for one chunk of claims.
-
-    f_all: (M, N) gathered M31 column evaluations; consts: (6, M, 4) host
-    constants [L0, S, DY, DX, VC, AW]; px/py: (N,) domain coordinates.
-    Returns the alpha-weighted QM31 sum over the chunk, (4, N)."""
-    def c(i):  # (M, 4) -> (4, M, 1) broadcast shape
-        return jnp.transpose(consts[i]).reshape(4, n_claims, 1)
-
-    l0, s, dy, dx, vc, aw = (c(i) for i in range(6))
-    fq = f_all[None, :, :]          # (1, M, N) M31 embedded below
-    pyq = py[None, None, :]
-    pxq = px[None, None, :]
-
-    def embed(x):  # M31 broadcastable -> QM31 (4, M, N)-broadcast
-        return jnp.concatenate([x, jnp.zeros((3,) + x.shape[1:], jnp.uint32)], axis=0)
-
-    f_emb = embed(fq)
-    py_emb = embed(pyq)
-    px_emb = embed(pxq)
-    num = qm31.sub(f_emb, qm31.add(l0, qm31.mul(s, py_emb)))
-    van = qm31.add(qm31.sub(qm31.mul(dy, px_emb), qm31.mul(dx, py_emb)), vc)
-    q = qm31.mul(num, qm31.inv(van))
-    weighted = qm31.mul(aw, q)
-    # modular sum over the claim axis (axis 1 of (4, M, N))
-    acc = weighted
+@jax.jit
+def _weighted_columns(cols: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """sum_k weights[k] * cols[k]: (C, N) M31 columns with (C, 4) QM31
+    weights -> (4, N). One modular matvec per QM31 coordinate."""
+    prods = m31.mul(weights.T[:, :, None], cols[None, :, :])  # (4, C, N)
+    acc = prods
     while acc.shape[1] > 1:
-        m = acc.shape[1]
-        if m % 2:
+        c = acc.shape[1]
+        if c % 2:
             acc = jnp.concatenate(
                 [acc, jnp.zeros((4, 1, acc.shape[2]), jnp.uint32)], axis=1)
-            m += 1
         acc = m31.add(acc[:, 0::2], acc[:, 1::2])
     return acc[:, 0]
+
+
+@jax.jit
+def _point_group_quotient(wf, a_const, b_const, dy, dx, vc, px, py):
+    """inv_V(p) * (wf(p) - A - B*p.y) for one sample point.
+
+    wf: (4, N) weighted column combination; A/B and the vanishing
+    coefficients are (4,) QM31 constants; px/py (N,) M31."""
+    def c(v):
+        return v.reshape(4, 1)
+
+    num = qm31.sub(wf, qm31.add(c(a_const), qm31.mul(c(b_const), qm31.from_m31(py))))
+    van = qm31.add(
+        qm31.sub(qm31.mul(c(dy), qm31.from_m31(px)), qm31.mul(c(dx), qm31.from_m31(py))),
+        c(vc),
+    )
+    return qm31.mul(num, qm31.inv(van))
+
+
+_COL_CHUNK = 64  # bound the (4, C, N) weighted-reduction intermediate
 
 
 def accumulate_quotients(
@@ -118,36 +113,53 @@ def accumulate_quotients(
     alpha: tuple,
 ) -> jnp.ndarray:
     """Prover: combined quotient evaluation on the commitment domain
-    2^log_size (QM31, (4, N)). columns[i] is an extended M31 evaluation in
-    bit-reversed storage; claims[i] its sample claims."""
+    2^log_size (QM31, (4, N)).
+
+    Claims are grouped by sample point: all columns sampled at the same z
+    share the pair-vanishing V and the line structure, so
+        sum_k a^k (f_k - l_k)/V  =  (1/V) * (sum_k a^k f_k - A - B*p.y)
+    with scalar A = sum a^k l0_k, B = sum a^k s_k — one batch inverse and one
+    weighted column reduction per point instead of per claim."""
     xs, ys = domain_points_storage(log_size)
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
 
-    flat: List[Tuple[int, QuotientClaim]] = []
+    groups: dict = {}
     for ci, col_claims in enumerate(claims):
         for c in col_claims:
-            flat.append((ci, c))
+            key = (tuple(c.point[0]), tuple(c.point[1]))
+            groups.setdefault(key, []).append((ci, c))
 
-    col_mat = jnp.stack(list(columns))
     acc = None
-    for start in range(0, len(flat), _CLAIM_CHUNK):
-        chunk = flat[start : start + _CLAIM_CHUNK]
-        m = len(chunk)
-        consts = np.empty((6, m, 4), np.uint32)
-        idxs = np.empty(m, np.int32)
-        for i, (ci, c) in enumerate(chunk):
-            l0, s, dy, dx, vc = _line_and_vanishing_coeffs(c.point, c.value)
-            consts[0, i] = l0
-            consts[1, i] = s
-            consts[2, i] = dy
-            consts[3, i] = dx
-            consts[4, i] = vc
-            consts[5, i] = qm31.h_pow(alpha, c.alpha_index)
+    for (zx, zy), members in groups.items():
+        a_const = qm31.ZERO
+        b_const = qm31.ZERO
+        weights = np.zeros((len(members), 4), np.uint32)
+        idxs = np.empty(len(members), np.int32)
+        dy = dx = vc = None
+        for i, (ci, c) in enumerate(members):
+            l0, s, dy_, dx_, vc_ = _line_and_vanishing_coeffs(c.point, c.value)
+            dy, dx, vc = dy_, dx_, vc_  # identical for the whole group
+            aw = qm31.h_pow(alpha, c.alpha_index)
+            weights[i] = aw
             idxs[i] = ci
-        f_all = jnp.take(col_mat, jnp.asarray(idxs), axis=0)
-        part = _accumulate_chunk(f_all, jnp.asarray(consts), px, py, m)
-        acc = part if acc is None else qm31.add(acc, part)
+            a_const = qm31.h_add(a_const, qm31.h_mul(aw, l0))
+            b_const = qm31.h_add(b_const, qm31.h_mul(aw, s))
+
+        wf = None
+        for start in range(0, len(members), _COL_CHUNK):
+            sel = idxs[start : start + _COL_CHUNK]
+            cols = jnp.stack([columns[ci] for ci in sel])
+            w = jnp.asarray(weights[start : start + _COL_CHUNK])
+            part = _weighted_columns(cols, w)
+            wf = part if wf is None else qm31.add(wf, part)
+
+        def dev(t):
+            return jnp.asarray(np.array(t, np.uint32))
+
+        q = _point_group_quotient(wf, dev(a_const), dev(b_const),
+                                  dev(dy), dev(dx), dev(vc), px, py)
+        acc = q if acc is None else qm31.add(acc, q)
     assert acc is not None
     return acc
 
