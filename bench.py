@@ -11,9 +11,13 @@ reported as the ratio against BASELINE_SECONDS if a baseline file
 """
 
 import json
+import logging
 import os
 import sys
 import time
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
+                    stream=sys.stderr)
 
 
 def main() -> int:

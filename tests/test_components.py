@@ -53,6 +53,9 @@ PROGRAMS = [
     ("++[-]+.", b""),                # jump into middle
     ("+++><[>+<-]", b""),            # no-input loop
     (",.", b"A"),                    # pure IO
+    ("[->+<]", b""),                 # loop.bf: loop body never entered
+    (",>,..<.", b"ab"),              # a-bc-like IO mix
+    ("-", b""),                      # single underflow step
 ]
 
 
