@@ -117,7 +117,7 @@ class FriProver:
 
     proof: FriProof
     layers: List[merkle.MerkleTree]          # committed line layers
-    layer_evals: List[np.ndarray]            # (4, N) host copies
+    layer_evals: List[jnp.ndarray]           # (4, N) device evaluations
     circle_fold_alpha: tuple
     max_log: int
     input_logs: List[int]
@@ -136,7 +136,7 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel) -> FriProver:
     cur = fold_circle(inputs[max_log], beta0, max_log)  # line size 2^(max-1)
     m = max_log - 1
     layers: List[merkle.MerkleTree] = []
-    layer_evals: List[np.ndarray] = []
+    layer_evals: List[jnp.ndarray] = []
     roots: List[bytes] = []
 
     while m > LOG_LAST_LAYER:
@@ -144,7 +144,7 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel) -> FriProver:
             cur = qm31.add(cur, fold_circle(inputs[m + 1], beta0, m + 1))
         tree = _commit_layer(cur)
         layers.append(tree)
-        layer_evals.append(np.asarray(cur))
+        layer_evals.append(cur)
         roots.append(tree.root)
         channel.mix_root(tree.root)
         beta = channel.draw_felt()
@@ -176,8 +176,10 @@ def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
         positions = sorted({(q >> (prover.max_log - m)) ^ b for q in queries for b in (0, 1)})
         dec = merkle.decommit(tree, positions)
         prover.proof.layer_decommitments.append(dec)
+        gathered = np.asarray(jnp.take(
+            evals, jnp.asarray(np.array(positions, np.int32)), axis=1))
         prover.proof.layer_values.append(
-            {p: tuple(int(x) for x in evals[:, p]) for p in positions}
+            {p: tuple(int(x) for x in gathered[:, i]) for i, p in enumerate(positions)}
         )
         m -= 1
 

@@ -159,14 +159,18 @@ def np_neg(a):
 
 
 def np_inv(a):
-    """Elementwise inverse on host via Fermat little theorem (0 -> 0)."""
+    """Elementwise inverse on host via Fermat little theorem (0 -> 0),
+    vectorized square-and-multiply (31 numpy passes)."""
     a = np.asarray(a, np.uint64)
-    out = np.empty_like(a)
-    flat_in = a.ravel()
-    flat_out = out.ravel()
-    for i, v in enumerate(flat_in):
-        flat_out[i] = pow(int(v), P_INT - 2, P_INT) if v != 0 else 0
-    return flat_out.reshape(a.shape).astype(np.uint32)
+    result = np.ones_like(a)
+    base = a.copy()
+    e = P_INT - 2
+    while e:
+        if e & 1:
+            result = (result * base) % P_INT
+        base = (base * base) % P_INT
+        e >>= 1
+    return np.where(a == 0, 0, result).astype(np.uint32)
 
 
 def scalar_inv(v: int) -> int:

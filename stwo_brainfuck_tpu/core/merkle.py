@@ -32,9 +32,11 @@ ColumnsByLog = Dict[int, List[jnp.ndarray]]
 @dataclass
 class MerkleTree:
     root: bytes
-    # level -> (2^level, 8) uint32 digest words (host copies for decommit)
-    layers: Dict[int, np.ndarray]
-    columns_by_log: Dict[int, List[np.ndarray]]
+    # level -> (2^level, 8) uint32 digest words (kept ON DEVICE; decommit
+    # gathers only the few queried positions — pulling whole layers through
+    # the TPU relay costs hundreds of MB per proof)
+    layers: Dict[int, jnp.ndarray]
+    columns_by_log: Dict[int, List[jnp.ndarray]]
 
     @property
     def max_log(self) -> int:
@@ -42,10 +44,10 @@ class MerkleTree:
 
 
 def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
-    """Build the tree on device; returns root + host layers."""
+    """Build the tree on device; only the 32-byte root leaves the device."""
     assert columns_by_log, "empty commitment"
     max_log = max(columns_by_log)
-    layers: Dict[int, np.ndarray] = {}
+    layers: Dict[int, jnp.ndarray] = {}
     prev: jnp.ndarray | None = None  # (2^(k+1), 8)
 
     for k in range(max_log, -1, -1):
@@ -58,13 +60,11 @@ def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
             parts.append(jnp.asarray(c, jnp.uint32).reshape(1 << k, 1))
         msg = jnp.concatenate(parts, axis=1)
         prev = blake2s.hash_words(msg)
-        layers[k] = np.asarray(prev)
+        layers[k] = prev
 
-    root = blake2s.digest_to_bytes(layers[0][0])
-    host_cols = {
-        k: [np.asarray(c) for c in cols] for k, cols in columns_by_log.items()
-    }
-    return MerkleTree(root=root, layers=layers, columns_by_log=host_cols)
+    root = blake2s.digest_to_bytes(np.asarray(layers[0][0]))
+    return MerkleTree(root=root, layers=layers,
+                      columns_by_log={k: list(v) for k, v in columns_by_log.items()})
 
 
 @dataclass
@@ -119,18 +119,27 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
     for k in range(max_log, -1, -1):
         cols = tree.columns_by_log.get(k, [])
         if cols:
-            out.column_values[k] = [
-                [int(c[p]) for p in needed[k]] for c in cols
-            ]
+            idx = jnp.asarray(np.array(needed[k], np.int32))
+            gathered = np.asarray(
+                jnp.stack([jnp.take(jnp.asarray(c), idx) for c in cols])
+            )
+            out.column_values[k] = [[int(v) for v in row] for row in gathered]
         if k < max_log:
             # children of needed[k] at level k+1; provide siblings not needed
             child_needed = set(needed[k + 1])
-            for p in needed[k]:
-                for child in (2 * p, 2 * p + 1):
-                    if child not in child_needed:
-                        out.witness_hashes.append(
-                            blake2s.digest_to_bytes(tree.layers[k + 1][child])
-                        )
+            witness_pos = [
+                child
+                for p in needed[k]
+                for child in (2 * p, 2 * p + 1)
+                if child not in child_needed
+            ]
+            if witness_pos:
+                hashes = np.asarray(jnp.take(
+                    tree.layers[k + 1],
+                    jnp.asarray(np.array(witness_pos, np.int32)), axis=0,
+                ))
+                for h in hashes:
+                    out.witness_hashes.append(blake2s.digest_to_bytes(h))
     return out
 
 
