@@ -37,6 +37,9 @@ class MerkleTree:
     # the TPU relay costs hundreds of MB per proof)
     layers: Dict[int, jnp.ndarray]
     columns_by_log: Dict[int, List[jnp.ndarray]]
+    # level -> (n_nodes, n_cols) matrix view of the level's column values
+    # (one gather per level at decommit instead of one per column)
+    column_matrix: Dict[int, jnp.ndarray] = None  # type: ignore[assignment]
 
     @property
     def max_log(self) -> int:
@@ -48,6 +51,7 @@ def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
     assert columns_by_log, "empty commitment"
     max_log = max(columns_by_log)
     layers: Dict[int, jnp.ndarray] = {}
+    col_matrix: Dict[int, jnp.ndarray] = {}
     prev: jnp.ndarray | None = None  # (2^(k+1), 8)
 
     for k in range(max_log, -1, -1):
@@ -59,12 +63,15 @@ def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
             assert c.shape == (1 << k,), (c.shape, k)
             parts.append(jnp.asarray(c, jnp.uint32).reshape(1 << k, 1))
         msg = jnp.concatenate(parts, axis=1)
+        if cols:
+            col_matrix[k] = msg[:, -len(cols):]
         prev = blake2s.hash_words(msg)
         layers[k] = prev
 
     root = blake2s.digest_to_bytes(np.asarray(layers[0][0]))
     return MerkleTree(root=root, layers=layers,
-                      columns_by_log={k: list(v) for k, v in columns_by_log.items()})
+                      columns_by_log={k: list(v) for k, v in columns_by_log.items()},
+                      column_matrix=col_matrix)
 
 
 @dataclass
@@ -121,8 +128,8 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
         if cols:
             idx = jnp.asarray(np.array(needed[k], np.int32))
             gathered = np.asarray(
-                jnp.stack([jnp.take(jnp.asarray(c), idx) for c in cols])
-            )
+                jnp.take(tree.column_matrix[k], idx, axis=0)
+            ).T  # (n_cols, n_positions)
             out.column_values[k] = [[int(v) for v in row] for row in gathered]
         if k < max_log:
             # children of needed[k] at level k+1; provide siblings not needed
