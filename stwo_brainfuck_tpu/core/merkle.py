@@ -123,14 +123,16 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
     max_log = tree.max_log
     needed = _needed_positions(queries, max_log)
     out = MerkleDecommitment()
+    # Issue every gather asynchronously first (each sync pull through the
+    # TPU relay costs ~10ms; hundreds of levels across FRI layers add up),
+    # then materialize at the end.
+    pending_cols: List[tuple] = []
+    pending_wit: List[tuple] = []
     for k in range(max_log, -1, -1):
         cols = tree.columns_by_log.get(k, [])
         if cols:
             idx = jnp.asarray(np.array(needed[k], np.int32))
-            gathered = np.asarray(
-                jnp.take(tree.column_matrix[k], idx, axis=0)
-            ).T  # (n_cols, n_positions)
-            out.column_values[k] = [[int(v) for v in row] for row in gathered]
+            pending_cols.append((k, jnp.take(tree.column_matrix[k], idx, axis=0)))
         if k < max_log:
             # children of needed[k] at level k+1; provide siblings not needed
             child_needed = set(needed[k + 1])
@@ -141,12 +143,16 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
                 if child not in child_needed
             ]
             if witness_pos:
-                hashes = np.asarray(jnp.take(
+                pending_wit.append((k, jnp.take(
                     tree.layers[k + 1],
                     jnp.asarray(np.array(witness_pos, np.int32)), axis=0,
-                ))
-                for h in hashes:
-                    out.witness_hashes.append(blake2s.digest_to_bytes(h))
+                )))
+    for k, fut in pending_cols:
+        gathered = np.asarray(fut).T  # (n_cols, n_positions)
+        out.column_values[k] = [[int(v) for v in row] for row in gathered]
+    for _, fut in sorted(pending_wit, key=lambda kv: -kv[0]):
+        for h in np.asarray(fut):
+            out.witness_hashes.append(blake2s.digest_to_bytes(h))
     return out
 
 
