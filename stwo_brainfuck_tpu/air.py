@@ -284,13 +284,17 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
     queries = channel.draw_queries(config.n_queries, s_max)
 
     log.info("Decommitment")
-    decommitments = []
+    pending = []
     for tree in trees:
         levels = sorted(tree.column_levels())
         pos = query_positions_by_level(queries, s_max, levels)
-        decommitments.append(tree.decommit(pos))
+        pending.append(merkle.decommit_async(tree.tree, pos))
+    decommitments = [p.finalize() for p in pending]
+    log.info("  trees decommitted")
     fri.fri_decommit(fri_prover, queries)
+    log.info("  fri decommitted")
 
+    log.info("  assembling proof")
     return {
         "config": config.to_json(),
         "claim": claim,

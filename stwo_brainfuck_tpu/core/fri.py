@@ -172,16 +172,20 @@ def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
     proof.layer_decommitments / layer_values. queries are positions in the
     max circle domain."""
     m = prover.max_log - 1
+    pending = []
     for tree, evals in zip(prover.layers, prover.layer_evals):
         positions = sorted({(q >> (prover.max_log - m)) ^ b for q in queries for b in (0, 1)})
-        dec = merkle.decommit(tree, positions)
-        prover.proof.layer_decommitments.append(dec)
-        gathered = np.asarray(jnp.take(
-            evals, jnp.asarray(np.array(positions, np.int32)), axis=1))
+        dec = merkle.decommit_async(tree, positions)
+        vals = jnp.take(evals, jnp.asarray(np.array(positions, np.int32)), axis=1)
+        pending.append((positions, dec, vals))
+        m -= 1
+    # single materialization pass over all layers
+    for positions, dec, vals in pending:
+        prover.proof.layer_decommitments.append(dec.finalize())
+        gathered = np.asarray(vals)
         prover.proof.layer_values.append(
             {p: tuple(int(x) for x in gathered[:, i]) for i, p in enumerate(positions)}
         )
-        m -= 1
 
 
 class FriVerificationError(Exception):

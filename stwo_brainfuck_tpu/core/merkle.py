@@ -117,15 +117,30 @@ def _needed_positions(queries, max_log: int) -> Dict[int, List[int]]:
     return needed
 
 
-def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
-    """Produce the witness for query positions: either a list of positions at
-    the deepest level, or a dict {level: positions} (explicit per-level)."""
+class PendingDecommitment:
+    """Device-side gathers issued, not yet pulled. finalize() materializes
+    with a single sync point — callers batch many trees/layers and finalize
+    them together so TPU-relay round trips amortize."""
+
+    def __init__(self, pending_cols, pending_wit):
+        self._cols = pending_cols
+        self._wit = pending_wit
+
+    def finalize(self) -> MerkleDecommitment:
+        out = MerkleDecommitment()
+        for k, fut in self._cols:
+            gathered = np.asarray(fut).T  # (n_cols, n_positions)
+            out.column_values[k] = [[int(v) for v in row] for row in gathered]
+        for _, fut in sorted(self._wit, key=lambda kv: -kv[0]):
+            for h in np.asarray(fut):
+                out.witness_hashes.append(blake2s.digest_to_bytes(h))
+        return out
+
+
+def decommit_async(tree: MerkleTree, queries) -> PendingDecommitment:
+    """Issue the decommitment gathers without materializing."""
     max_log = tree.max_log
     needed = _needed_positions(queries, max_log)
-    out = MerkleDecommitment()
-    # Issue every gather asynchronously first (each sync pull through the
-    # TPU relay costs ~10ms; hundreds of levels across FRI layers add up),
-    # then materialize at the end.
     pending_cols: List[tuple] = []
     pending_wit: List[tuple] = []
     for k in range(max_log, -1, -1):
@@ -147,13 +162,13 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
                     tree.layers[k + 1],
                     jnp.asarray(np.array(witness_pos, np.int32)), axis=0,
                 )))
-    for k, fut in pending_cols:
-        gathered = np.asarray(fut).T  # (n_cols, n_positions)
-        out.column_values[k] = [[int(v) for v in row] for row in gathered]
-    for _, fut in sorted(pending_wit, key=lambda kv: -kv[0]):
-        for h in np.asarray(fut):
-            out.witness_hashes.append(blake2s.digest_to_bytes(h))
-    return out
+    return PendingDecommitment(pending_cols, pending_wit)
+
+
+def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
+    """Produce the witness for query positions: either a list of positions at
+    the deepest level, or a dict {level: positions} (explicit per-level)."""
+    return decommit_async(tree, queries).finalize()
 
 
 class MerkleVerificationError(Exception):
