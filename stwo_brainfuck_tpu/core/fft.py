@@ -61,7 +61,8 @@ def _pi(x: np.ndarray) -> np.ndarray:
 
 @dataclass(frozen=True)
 class Twiddles:
-    """Per-domain twiddle stack (device arrays, bit-reversed block order).
+    """Per-domain twiddle stack (HOST numpy arrays, bit-reversed block order;
+    device copies are cached separately — see _device_twiddles).
 
     fwd[L] has length 2^(log_size-1-L):
       L = 0: y(p) of the half coset; L >= 1: pi^(L-1)(x(p)).

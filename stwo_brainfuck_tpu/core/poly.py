@@ -32,6 +32,11 @@ def sum_mod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return x[..., 0]
 
 
+from functools import partial
+
+import jax
+
+
 def _point_factors(log_size: int, point) -> np.ndarray:
     """Host: the per-bit basis factors [y, x, pi(x), ...] at a QM31 point."""
     x, y = point
@@ -41,10 +46,6 @@ def _point_factors(log_size: int, point) -> np.ndarray:
         factors.append(cur)
         cur = qm31.h_sub(qm31.h_mul(cur, qm31.h_add(cur, cur)), qm31.ONE)  # 2c^2-1
     return np.array(factors, np.uint32)  # (log_size, 4)
-
-
-from functools import partial
-import jax
 
 
 @partial(jax.jit, static_argnames=("log_size",))

@@ -91,43 +91,11 @@ class LookupElements:
             acc = qm31.h_add(acc, qm31.h_mul(a, vq))
         return qm31.h_sub(acc, self.z)
 
-    # device combine: values are M31 arrays of a common shape -> QM31 array
-    def combine_device(self, values: Sequence[jnp.ndarray]) -> jnp.ndarray:
-        coeffs = jnp.asarray(np.array(self.alpha_powers, np.uint32))
-        acc = qm31.dot_m31(coeffs, values)
-        z = jnp.asarray(np.array(self.z, np.uint32))
-        return qm31.sub(acc, jnp.reshape(z, (4,) + (1,) * (acc.ndim - 1)))
 
 
 # ---------------------------------------------------------------------------
 # Expression values: device arrays (QM31 stacked) or host QM31 tuples
 # ---------------------------------------------------------------------------
-
-class _DeviceOps:
-    """QM31 arithmetic on (4, N) uint32 arrays; M31 inputs are embedded."""
-
-    @staticmethod
-    def lift(v):
-        if isinstance(v, int):
-            return np.array([v % P_INT, 0, 0, 0], np.uint32)
-        return v
-
-    @staticmethod
-    def is_qm(v) -> bool:
-        return v.ndim >= 1 and v.shape[0] == 4 and v.ndim > 1
-
-    @staticmethod
-    def add(a, b):
-        return qm31.add(a, b)
-
-    @staticmethod
-    def sub(a, b):
-        return qm31.sub(a, b)
-
-    @staticmethod
-    def mul(a, b):
-        return qm31.mul(a, b)
-
 
 class Expr:
     """Lightweight wrapper so constraint definitions read algebraically.
