@@ -289,7 +289,7 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
         levels = sorted(tree.column_levels())
         pos = query_positions_by_level(queries, s_max, levels)
         pending.append(merkle.decommit_async(tree.tree, pos))
-    decommitments = [p.finalize() for p in pending]
+    decommitments = merkle.finalize_many(pending)
     log.info("  trees decommitted")
     fri.fri_decommit(fri_prover, queries)
     log.info("  fri decommitted")

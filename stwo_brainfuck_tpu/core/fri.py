@@ -171,18 +171,22 @@ def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
     """Decommit each layer at the query fold positions (pairs), filling
     proof.layer_decommitments / layer_values. queries are positions in the
     max circle domain."""
+    from ..utils.transfer import pull_all
+
     m = prover.max_log - 1
     pending = []
+    val_futs = []
     for tree, evals in zip(prover.layers, prover.layer_evals):
         positions = sorted({(q >> (prover.max_log - m)) ^ b for q in queries for b in (0, 1)})
         dec = merkle.decommit_async(tree, positions)
-        vals = jnp.take(evals, jnp.asarray(np.array(positions, np.int32)), axis=1)
-        pending.append((positions, dec, vals))
+        val_futs.append(jnp.take(evals, jnp.asarray(np.array(positions, np.int32)), axis=1))
+        pending.append((positions, dec))
         m -= 1
-    # single materialization pass over all layers
-    for positions, dec, vals in pending:
-        prover.proof.layer_decommitments.append(dec.finalize())
-        gathered = np.asarray(vals)
+    # one host transfer for all layers' decommitments and values
+    decs = merkle.finalize_many([d for _, d in pending])
+    vals_host = pull_all(val_futs)
+    for (positions, _), dec, gathered in zip(pending, decs, vals_host):
+        prover.proof.layer_decommitments.append(dec)
         prover.proof.layer_values.append(
             {p: tuple(int(x) for x in gathered[:, i]) for i, p in enumerate(positions)}
         )

@@ -118,23 +118,50 @@ def _needed_positions(queries, max_log: int) -> Dict[int, List[int]]:
 
 
 class PendingDecommitment:
-    """Device-side gathers issued, not yet pulled. finalize() materializes
-    with a single sync point — callers batch many trees/layers and finalize
-    them together so TPU-relay round trips amortize."""
+    """Device-side gathers issued, not yet pulled. finalize_many materializes
+    any number of pending decommitments with ONE host transfer (each separate
+    pull costs a full TPU-relay round trip)."""
 
     def __init__(self, pending_cols, pending_wit):
         self._cols = pending_cols
-        self._wit = pending_wit
+        self._wit = sorted(pending_wit, key=lambda kv: -kv[0])
+
+    def futures(self):
+        return [f for _, f in self._cols] + [f for _, f in self._wit]
+
+    def build(self, host_arrays) -> MerkleDecommitment:
+        out = MerkleDecommitment()
+        i = 0
+        for k, _ in self._cols:
+            gathered = host_arrays[i].T  # (n_cols, n_positions)
+            out.column_values[k] = [[int(v) for v in row] for row in gathered]
+            i += 1
+        for _k, _ in self._wit:
+            for h in host_arrays[i]:
+                out.witness_hashes.append(blake2s.digest_to_bytes(h))
+            i += 1
+        return out
 
     def finalize(self) -> MerkleDecommitment:
-        out = MerkleDecommitment()
-        for k, fut in self._cols:
-            gathered = np.asarray(fut).T  # (n_cols, n_positions)
-            out.column_values[k] = [[int(v) for v in row] for row in gathered]
-        for _, fut in sorted(self._wit, key=lambda kv: -kv[0]):
-            for h in np.asarray(fut):
-                out.witness_hashes.append(blake2s.digest_to_bytes(h))
-        return out
+        return finalize_many([self])[0]
+
+
+def finalize_many(pendings: Sequence["PendingDecommitment"]) -> List[MerkleDecommitment]:
+    from ..utils.transfer import pull_all
+
+    futs = []
+    counts = []
+    for p in pendings:
+        f = p.futures()
+        futs.extend(f)
+        counts.append(len(f))
+    host = pull_all(futs)
+    out = []
+    off = 0
+    for p, c in zip(pendings, counts):
+        out.append(p.build(host[off : off + c]))
+        off += c
+    return out
 
 
 def decommit_async(tree: MerkleTree, queries) -> PendingDecommitment:
