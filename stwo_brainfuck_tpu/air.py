@@ -50,6 +50,22 @@ from functools import lru_cache
 def _vanishing_inv(log_size: int, eval_log: int) -> np.ndarray:
     return m31.np_inv(poly.vanishing_on_domain(log_size, eval_log))
 
+
+class _NullChannel:
+    def mix_root(self, root):
+        pass
+
+
+@lru_cache(maxsize=8)
+def _preprocessed_tree(ladder: tuple, log_blowup: int) -> TreeProver:
+    """The is_first ladder commitment is a pure function of (ladder, blowup)
+    — cache it across proofs and reuse it in the verifier root check."""
+    cfg = PcsConfig(log_blowup=log_blowup)
+    return TreeProver(
+        [(lg, jnp.asarray(_is_first_column(lg))) for lg in ladder],
+        cfg, _NullChannel(),
+    )
+
 N_TREES = 4  # preprocessed, main, interaction, composition
 
 
@@ -167,10 +183,8 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
     config.mix_into(channel)
 
     log.info("Phase 0: preprocessed trace")
-    tree0 = TreeProver(
-        [(lg, jnp.asarray(_is_first_column(lg))) for lg in layout.ladder],
-        config, channel,
-    )
+    tree0 = _preprocessed_tree(tuple(layout.ladder), config.log_blowup)
+    channel.mix_root(tree0.root)
 
     log.info("Phase 1: main trace")
     mix_claim(channel, claim)
@@ -347,14 +361,7 @@ def verify_brainfuck(proof: dict) -> None:
     # (The reference verifier takes it from the proof, mod.rs:754-758, which
     # would let a prover commit a fake is_first column and void every
     # boundary constraint.)
-    class _NullChannel:
-        def mix_root(self, root):
-            pass
-
-    expected_tree0 = TreeProver(
-        [(lg, jnp.asarray(_is_first_column(lg))) for lg in layout.ladder],
-        config, _NullChannel(),
-    )
+    expected_tree0 = _preprocessed_tree(tuple(layout.ladder), config.log_blowup)
     if expected_tree0.root != roots[0]:
         raise VerificationError("preprocessed commitment mismatch")
 
