@@ -188,25 +188,38 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
 
     log.info("Phase 1: main trace")
     mix_claim(channel, claim)
+    # one host->device upload per component (shared with phase 2)
+    dev_tabs: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for comp in comps:
+        mat = jnp.asarray(np.stack([tabs[comp.name][c] for c in comp.columns]))
+        dev_tabs[comp.name] = {c: mat[i] for i, c in enumerate(comp.columns)}
     main_cols: List[Tuple[int, jnp.ndarray]] = []
     for comp in comps:
         for col in comp.columns:
-            main_cols.append((comp.log_size, jnp.asarray(tabs[comp.name][col])))
+            main_cols.append((comp.log_size, dev_tabs[comp.name][col]))
     tree1 = TreeProver(main_cols, config, channel)
 
     log.info("Phase 2: interaction trace")
     elements = draw_elements(channel)
-    iclaim: Dict[str, tuple] = {}
+    from .framework.component import build_interaction_trace_async
+    from .utils.transfer import pull_all
+
     inter_by_comp: Dict[str, List[jnp.ndarray]] = {}
     inter_cols: List[Tuple[int, jnp.ndarray]] = []
+    claimed_futs = []
     for comp in comps:
-        cols = {c: jnp.asarray(tabs[comp.name][c]) for c in comp.columns}
-        inter, claimed = build_interaction_trace(comp, cols, elements)
-        iclaim[comp.name] = claimed
+        cols = dev_tabs[comp.name]
+        inter, claimed_dev = build_interaction_trace_async(comp, cols, elements)
+        claimed_futs.append(claimed_dev)
         inter_by_comp[comp.name] = inter
         for q in inter:
             for c in range(4):
                 inter_cols.append((comp.log_size, q[c]))
+    claimed_host = pull_all(claimed_futs)
+    iclaim: Dict[str, tuple] = {
+        comp.name: tuple(int(v) for v in arr)
+        for comp, arr in zip(comps, claimed_host)
+    }
     if not lookup_sum_valid(iclaim):
         raise ProvingError("LogUp sum does not cancel — invalid trace")
     mix_interaction_claim(channel, iclaim)

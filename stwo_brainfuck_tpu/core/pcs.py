@@ -63,7 +63,12 @@ class TreeProver:
         coeffs_all: Dict[int, jnp.ndarray] = {}
         ext_all: Dict[int, jnp.ndarray] = {}
         for log_size, idxs in groups.items():
-            mat = jnp.stack([jnp.asarray(columns[i][1], jnp.uint32) for i in idxs])
+            vals = [columns[i][1] for i in idxs]
+            if all(isinstance(v, np.ndarray) for v in vals):
+                # host-side stack -> single upload instead of one per column
+                mat = jnp.asarray(np.stack(vals).astype(np.uint32))
+            else:
+                mat = jnp.stack([jnp.asarray(v, jnp.uint32) for v in vals])
             coeffs = fft.interpolate(mat, log_size)
             pad = (1 << (log_size + config.log_blowup)) - (1 << log_size)
             ext = fft.evaluate(jnp.pad(coeffs, ((0, 0), (0, pad))),

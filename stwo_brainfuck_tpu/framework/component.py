@@ -379,6 +379,19 @@ def _device_perm(log_size: int) -> jnp.ndarray:
     return _DEV_PERM_CACHE[log_size]
 
 
+def build_interaction_trace_async(
+    component: Component,
+    main_cols: Dict[str, jnp.ndarray],
+    elements: Dict[str, LookupElements],
+) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+    """Like build_interaction_trace but returns the claimed sum as a DEVICE
+    array so callers can batch the host pulls across components."""
+    fn = _interaction_fn(type(component), component.log_size)
+    els_dev = {k: e.device() for k, e in elements.items()}
+    q_cols, s, claimed = fn(main_cols, els_dev, _device_perm(component.log_size))
+    return list(q_cols) + [s], claimed
+
+
 def build_interaction_trace(
     component: Component,
     main_cols: Dict[str, jnp.ndarray],
@@ -387,10 +400,8 @@ def build_interaction_trace(
     """Compute the component's interaction columns on the TRACE domain.
 
     Returns ([(4, N) QM31 arrays: Q_0..Q_{K-1}, S], claimed_sum host tuple)."""
-    fn = _interaction_fn(type(component), component.log_size)
-    els_dev = {k: e.device() for k, e in elements.items()}
-    q_cols, s, claimed = fn(main_cols, els_dev, _device_perm(component.log_size))
-    return list(q_cols) + [s], tuple(int(v) for v in np.asarray(claimed))
+    cols, claimed = build_interaction_trace_async(component, main_cols, elements)
+    return cols, tuple(int(v) for v in np.asarray(claimed))
 
 
 @lru_cache(maxsize=None)
