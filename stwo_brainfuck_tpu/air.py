@@ -109,7 +109,16 @@ def build_layout(claim: Dict[str, int], config: PcsConfig) -> SystemLayout:
         raise ProvingError(f"log_max_rows {top} < max component log {max_log}")
     ladder = list(range(top, MIN_LOG_SIZE - 1, -1))
 
-    tree0 = [ColumnMeta(f"is_first/{lg}", lg) for lg in ladder]
+    # Only the component-size is_first columns are ever used by the OODS
+    # identity; the rest of the ladder stays committed (program-independent
+    # root) but needs no opening — skipping their samples keeps the FRI
+    # input set to the sizes that actually carry constraints.
+    used_sizes = set(claim.values())
+    tree0 = [
+        ColumnMeta(f"is_first/{lg}", lg,
+                   shifts=((0,) if lg in used_sizes else ()))
+        for lg in ladder
+    ]
     tree1: List[ColumnMeta] = []
     for comp in comps:
         for col in comp.columns:
