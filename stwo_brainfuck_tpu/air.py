@@ -463,7 +463,7 @@ def verify_brainfuck(proof: dict) -> None:
                     point=shifted_point(z, meta.log_size, s), value=v, alpha_index=aidx))
                 aidx += 1
             vals = got[lvl][ci]
-            positions = sorted({(q >> (s_max - lvl)) ^ b for q in queries for b in (0, 1)})
+            positions = query_positions_by_level(queries, s_max, [lvl])[lvl]
             values_by_size.setdefault(lvl, []).append(
                 (dict(zip(positions, vals)), claims)
             )

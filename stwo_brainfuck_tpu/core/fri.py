@@ -118,6 +118,7 @@ class FriProver:
     proof: FriProof
     layers: List[merkle.MerkleTree]          # committed line layers
     layer_evals: List[jnp.ndarray]           # (4, N) device evaluations
+    layer_levels: List[int]                  # line level of each layer
     circle_fold_alpha: tuple
     max_log: int
     input_logs: List[int]
@@ -137,22 +138,33 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel) -> FriProver:
     m = max_log - 1
     layers: List[merkle.MerkleTree] = []
     layer_evals: List[jnp.ndarray] = []
+    layer_levels: List[int] = []
     roots: List[bytes] = []
 
-    while m > LOG_LAST_LAYER:
+    def inject(cur, m):
         if m + 1 in inputs and m + 1 != max_log:
-            cur = qm31.add(cur, fold_circle(inputs[m + 1], beta0, m + 1))
+            return qm31.add(cur, fold_circle(inputs[m + 1], beta0, m + 1))
+        return cur
+
+    # Radix-4: each committed layer folds TWICE (beta, then beta^2) — halves
+    # the sequential root->beta transcript chain and the layer count.
+    while m > LOG_LAST_LAYER:
+        cur = inject(cur, m)
         tree = _commit_layer(cur)
         layers.append(tree)
         layer_evals.append(cur)
+        layer_levels.append(m)
         roots.append(tree.root)
         channel.mix_root(tree.root)
         beta = channel.draw_felt()
         cur = fold_line(cur, beta, m)
         m -= 1
+        if m > LOG_LAST_LAYER:
+            cur = inject(cur, m)
+            cur = fold_line(cur, qm31.h_mul(beta, beta), m)
+            m -= 1
 
-    if m + 1 in inputs and m + 1 != max_log:
-        cur = qm31.add(cur, fold_circle(inputs[m + 1], beta0, m + 1))
+    cur = inject(cur, m)
 
     # last layer: 2-point line evaluation of a constant polynomial
     arr = np.asarray(cur)
@@ -163,6 +175,7 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel) -> FriProver:
     proof = FriProof(layer_roots=roots, last_layer_value=last)
     return FriProver(
         proof=proof, layers=layers, layer_evals=layer_evals,
+        layer_levels=layer_levels,
         circle_fold_alpha=beta0, max_log=max_log, input_logs=logs,
     )
 
@@ -173,15 +186,14 @@ def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
     max circle domain."""
     from ..utils.transfer import pull_all
 
-    m = prover.max_log - 1
     pending = []
     val_futs = []
-    for tree, evals in zip(prover.layers, prover.layer_evals):
-        positions = sorted({(q >> (prover.max_log - m)) ^ b for q in queries for b in (0, 1)})
+    for tree, evals, m in zip(prover.layers, prover.layer_evals, prover.layer_levels):
+        positions = sorted({((q >> (prover.max_log - m)) & ~3) + j
+                            for q in queries for j in range(4)})
         dec = merkle.decommit_async(tree, positions)
         val_futs.append(jnp.take(evals, jnp.asarray(np.array(positions, np.int32)), axis=1))
         pending.append((positions, dec))
-        m -= 1
     # one host transfer for all layers' decommitments and values
     decs = merkle.finalize_many([d for _, d in pending])
     vals_host = pull_all(val_futs)
@@ -212,27 +224,49 @@ def fri_verify_queries(
     """
     beta0, betas = channel_betas
 
-    # verify layer merkle decommitments and collect values
+    # reconstruct the committed layer levels (mirror of fri_commit)
+    levels: List[int] = []
     m = max_log - 1
+    while m > LOG_LAST_LAYER:
+        levels.append(m)
+        m -= 1
+        if m > LOG_LAST_LAYER:
+            m -= 1
+    if len(levels) != len(proof.layer_roots):
+        raise FriVerificationError("bad layer count")
+
+    # verify layer merkle decommitments and collect values
     layer_vals: List[Dict[int, tuple]] = []
-    for li, (root, dec) in enumerate(zip(proof.layer_roots, proof.layer_decommitments)):
-        positions = sorted({(q >> (max_log - m)) ^ b for q in queries for b in (0, 1)})
+    for li, (root, dec, lvl) in enumerate(
+        zip(proof.layer_roots, proof.layer_decommitments, levels)
+    ):
+        positions = sorted({((q >> (max_log - lvl)) & ~3) + j
+                            for q in queries for j in range(4)})
         vals = proof.layer_values[li]
         if sorted(vals) != positions:
             raise FriVerificationError(f"layer {li}: bad positions")
         cols = [[vals[p][k] for p in positions] for k in range(4)]
         dec_check = merkle.MerkleDecommitment(
-            column_values={m: cols}, witness_hashes=dec.witness_hashes
+            column_values={lvl: cols}, witness_hashes=dec.witness_hashes
         )
         try:
-            merkle.verify(root, {m: 4}, positions, dec_check, max_log=m)
+            merkle.verify(root, {lvl: 4}, positions, dec_check, max_log=lvl)
         except merkle.MerkleVerificationError as exc:
             raise FriVerificationError(f"layer {li} merkle: {exc}")
         layer_vals.append(vals)
-        m -= 1
+
+    def inject_val(m, pos, cur):
+        """Add the circle-size m+1 injection at line position pos, if any."""
+        if m + 1 == max_log:
+            return cur
+        a = input_values_fn(m + 1, 2 * pos)
+        if a is None:
+            return cur
+        b = input_values_fn(m + 1, 2 * pos + 1)
+        inj = _host_fold(a, b, beta0, _circle_itw_host(m + 1, pos))
+        return qm31.h_add(cur, inj)
 
     # walk each query
-    input_logs_present = set()
     for q in queries:
         # first circle fold at max_log
         pos = q & ~1
@@ -243,32 +277,38 @@ def fri_verify_queries(
         pos >>= 1
         li = 0
         while m > LOG_LAST_LAYER:
-            inj = None if m + 1 == max_log else _maybe_inject(input_values_fn, m, pos, beta0)
-            if inj is not None:
-                cur = qm31.h_add(cur, inj)
+            cur = inject_val(m, pos, cur)
             vals = layer_vals[li]
             if vals.get(pos) != cur:
                 raise FriVerificationError(f"fold mismatch at layer {li} pos {pos}")
-            sib = vals[pos ^ 1]
-            aa, bb = (cur, sib) if pos % 2 == 0 else (sib, cur)
-            cur = _host_fold(aa, bb, betas[li], _line_itw_host(m, pos >> 1))
-            pos >>= 1
-            m -= 1
+            beta = betas[li]
+            quad = pos & ~3
+            try:
+                a0, a1, a2, a3 = (vals[quad + j] for j in range(4))
+            except KeyError:
+                raise FriVerificationError(f"layer {li}: missing quad values")
+            t0 = quad >> 1
+            u0 = _host_fold(a0, a1, beta, _line_itw_host(m, t0))
+            u1 = _host_fold(a2, a3, beta, _line_itw_host(m, t0 + 1))
+            p1 = pos >> 1
+            if m - 1 == LOG_LAST_LAYER:
+                # single-fold tail
+                cur = u0 if p1 % 2 == 0 else u1
+                pos = p1
+                m -= 1
+                li += 1
+                continue
+            # mid injection at level m-1 on both half values
+            u0 = inject_val(m - 1, t0, u0)
+            u1 = inject_val(m - 1, t0 + 1, u1)
+            beta2 = qm31.h_mul(beta, beta)
+            cur = _host_fold(u0, u1, beta2, _line_itw_host(m - 1, t0 >> 1))
+            pos = pos >> 2
+            m -= 2
             li += 1
-        inj = None if m + 1 == max_log else _maybe_inject(input_values_fn, m, pos, beta0)
-        if inj is not None:
-            cur = qm31.h_add(cur, inj)
+        cur = inject_val(m, pos, cur)
         if cur != proof.last_layer_value:
             raise FriVerificationError(f"last layer mismatch at query {q}")
-
-
-def _maybe_inject(input_values_fn, m, pos, beta0):
-    """Injected circle-size m+1 fold value at line position pos, or None."""
-    a = input_values_fn(m + 1, (2 * pos))
-    if a is None:
-        return None
-    b = input_values_fn(m + 1, (2 * pos) | 1)
-    return _host_fold(a, b, beta0, _circle_itw_host(m + 1, pos))
 
 
 def _host_fold(a: tuple, b: tuple, beta: tuple, itw: int) -> tuple:

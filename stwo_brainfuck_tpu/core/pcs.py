@@ -133,9 +133,11 @@ def shifted_point(z, log_size: int, shift: int):
 def query_positions_by_level(
     queries: Sequence[int], s_max: int, levels: Sequence[int]
 ) -> Dict[int, List[int]]:
-    """For each commitment level, the projected query positions with their
-    fold-siblings (both halves of each first-fold pair)."""
+    """For each commitment level, the projected query positions expanded to
+    their radix-4 fold QUAD (the FRI verifier folds twice per committed
+    layer, and mid-layer injections consume the whole quad)."""
     out: Dict[int, List[int]] = {}
     for s in levels:
-        out[s] = sorted({(q >> (s_max - s)) ^ b for q in queries for b in (0, 1)})
+        out[s] = sorted({((q >> (s_max - s)) & ~3) + j
+                         for q in queries for j in range(4)})
     return out
