@@ -295,6 +295,8 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
     aidx = 0
     for tree, metas, tvals in zip(trees, layout.trees, sampled):
         for rec, meta, cvals in zip(tree.records, metas, tvals):
+            if not meta.shifts:
+                continue  # committed but never opened (unused ladder sizes)
             size = rec.log_size + blow
             cl = []
             for s, v in zip(meta.shifts, cvals):
@@ -433,8 +435,10 @@ def verify_brainfuck(proof: dict) -> None:
     channel.mix_u64(nonce)
 
     # queries
-    sizes = sorted({m.log_size + blow for metas in layout.trees for m in metas}, reverse=True)
-    s_max = sizes[0]
+    # largest commitment size that actually carries claims (= FRI max);
+    # unopened ladder levels may be deeper but are witness-only
+    s_max = max(m.log_size + blow
+                for metas in layout.trees for m in metas if m.shifts)
     queries = channel.draw_queries(config.n_queries, s_max)
 
     # Merkle verification of the 4 trees; collect values per level
@@ -457,6 +461,8 @@ def verify_brainfuck(proof: dict) -> None:
             lvl = meta.log_size + blow
             ci = seen_at_level.get(lvl, 0)
             seen_at_level[lvl] = ci + 1
+            if not meta.shifts:
+                continue  # committed but never opened
             claims = []
             for s, v in zip(meta.shifts, cvals):
                 claims.append(quotients.QuotientClaim(

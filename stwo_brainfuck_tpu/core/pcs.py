@@ -138,6 +138,10 @@ def query_positions_by_level(
     layer, and mid-layer injections consume the whole quad)."""
     out: Dict[int, List[int]] = {}
     for s in levels:
+        if s > s_max:
+            # deeper than any FRI input (unopened ladder sizes): nothing is
+            # queried there — their digests enter via witness hashes.
+            continue
         out[s] = sorted({((q >> (s_max - s)) & ~3) + j
                          for q in queries for j in range(4)})
     return out

@@ -118,3 +118,14 @@ def test_reject_forged_preprocessed_tree(proof):
     p["commitments"][0] = bytes(root).hex()
     with pytest.raises(air.VerificationError, match="preprocessed"):
         air.verify_brainfuck(p)
+
+
+def test_fixed_ladder_top_with_unused_sizes():
+    """Reference-style fixed preprocessed ladder (log_max_rows larger than
+    any component): unused ladder sizes stay committed but unopened."""
+    from stwo_brainfuck_tpu.core.pcs import PcsConfig
+
+    m = create_test_machine(compile_program("+++>,<[>+.<-]"), b"\x01")
+    m.execute()
+    p = air.prove_brainfuck(m, PcsConfig(log_max_rows=12, n_queries=8, pow_bits=4))
+    air.verify_brainfuck(p)
