@@ -1,0 +1,88 @@
+"""Sharded Blake2s Merkle commitment over a device mesh.
+
+Nodes are sharded as contiguous chunks, so children (2i, 2i+1) of a shard's
+nodes always live in the same shard: every level hashes locally until the
+node count reaches the device count. Each device then holds the root of its
+subtree; one all_gather collects the D subtree roots and the remaining
+log2(D) levels (plus any column injections at those tiny levels) finish
+replicated.
+
+Roots are bit-identical to the single-device core/merkle.py commit
+(shard-count invariance is the SURVEY §7 acceptance test for sharded
+commitments).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import blake2s, merkle
+from .mesh import ROW_AXIS
+
+
+def sharded_commit(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> bytes:
+    """Compute the Merkle root with level-sharded hashing.
+
+    columns_by_log: level -> list of (2^level,) M31 columns (device or host).
+    Returns the 32-byte root, equal to merkle.commit(...).root.
+    """
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    max_log = max(columns_by_log)
+    split_log = int(np.log2(D))
+    assert (1 << split_log) == D and max_log >= split_log
+
+    # levels >= split_log are sharded; deeper-than-split columns ride along
+    sharded_levels = [k for k in range(max_log, split_log - 1, -1)]
+    col_specs = {
+        k: [P(ROW_AXIS)] * len(columns_by_log.get(k, []))
+        for k in sharded_levels
+    }
+
+    def step(cols):
+        prev = None
+        for k in sharded_levels:
+            level_cols = cols.get(k, [])
+            n_local = (1 << k) // D
+            parts = []
+            if prev is not None:
+                parts.append(prev.reshape(n_local, 16))
+            for c in level_cols:
+                parts.append(c.reshape(n_local, 1))
+            msg = jnp.concatenate(parts, axis=1)
+            prev = blake2s.hash_words(msg)
+        # prev: (1, 8) per shard = subtree root at level split_log
+        return jax.lax.all_gather(prev.reshape(8), ROW_AXIS)  # (D, 8)
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=({k: specs for k, specs in col_specs.items()},),
+        out_specs=P(None, None), check_vma=False,
+    )
+    dev_cols = {
+        k: [jnp.asarray(c, jnp.uint32) for c in columns_by_log.get(k, [])]
+        for k in sharded_levels
+    }
+    subtree_roots = np.asarray(jax.jit(fn)(dev_cols))  # (D, 8)
+
+    # finish the top levels on host (tiny): levels split_log-1 .. 0
+    prev = subtree_roots
+    for k in range(split_log - 1, -1, -1):
+        cols = columns_by_log.get(k, [])
+        msgs = []
+        for i in range(1 << k):
+            m = prev[2 * i : 2 * i + 2].reshape(16).astype("<u4").tobytes()
+            for c in cols:
+                m += int(np.asarray(c)[i]).to_bytes(4, "little")
+            msgs.append(m)
+        import hashlib
+
+        prev = np.stack([
+            np.frombuffer(hashlib.blake2s(m).digest(), dtype="<u4") for m in msgs
+        ])
+    return prev[0].astype("<u4").tobytes()

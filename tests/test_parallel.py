@@ -123,3 +123,21 @@ def test_sharded_interpolate_roundtrip(n_devices):
     ev = make_sharded_evaluate(mesh, log_size)
     back = np.asarray(ev(jnp.asarray(got)))
     np.testing.assert_array_equal(back, vals)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_merkle_root_matches_single_device(n_devices):
+    from stwo_brainfuck_tpu.core import merkle
+    from stwo_brainfuck_tpu.parallel.merkle_sharded import sharded_commit
+
+    rng = np.random.default_rng(17)
+    cols = {
+        9: [rng.integers(0, 2**31 - 1, 512, dtype=np.uint32) for _ in range(3)],
+        7: [rng.integers(0, 2**31 - 1, 128, dtype=np.uint32) for _ in range(2)],
+        # a level below the shard split (handled on host)
+        2: [rng.integers(0, 2**31 - 1, 4, dtype=np.uint32)],
+    }
+    expected = merkle.commit({k: [jnp.asarray(v) for v in vs] for k, vs in cols.items()}).root
+    mesh = make_mesh(n_devices)
+    got = sharded_commit(mesh, cols)
+    assert got == expected
