@@ -64,8 +64,8 @@ int bf_execute(const uint32_t* code, int64_t code_len,
     int64_t in_pos = 0, out_pos = 0, rows = 0;
 
     auto record = [&](uint32_t ci, uint32_t ni) -> bool {
+        if (rows >= trace_cap) return false;  // cap applies in count mode too
         if (trace) {
-            if (rows >= trace_cap) return false;
             uint32_t* r = trace + rows * 7;
             r[0] = (uint32_t)(clk % P);
             r[1] = (uint32_t)(ip % P);

@@ -351,8 +351,26 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
 # Verifier
 # ---------------------------------------------------------------------------
 
-def verify_brainfuck(proof: dict) -> None:
-    """Full verification; raises VerificationError on any failure."""
+MIN_SECURITY_CONFIG = PcsConfig(log_blowup=1, n_queries=8, pow_bits=4, log_max_rows=0)
+
+
+def verify_brainfuck(proof: dict, min_config: Optional[PcsConfig] = None) -> None:
+    """Full verification; raises VerificationError on any failure.
+
+    min_config pins the minimum acceptable security parameters (the
+    reference pins PcsConfig::default(), mod.rs:744); the proof's embedded
+    config must meet or exceed them — otherwise a forger could ship a proof
+    "verified" under vacuous parameters (log_blowup=0 makes FRI accept
+    everything)."""
+    try:
+        _verify_brainfuck_inner(proof, min_config)
+    except VerificationError:
+        raise
+    except Exception as exc:  # malformed proofs must never crash the verifier
+        raise VerificationError(f"malformed proof ({type(exc).__name__}: {exc})")
+
+
+def _verify_brainfuck_inner(proof: dict, min_config: Optional[PcsConfig]) -> None:
     try:
         config = PcsConfig.from_json(proof["config"])
         claim = {k: int(v) for k, v in proof["claim"].items()}
@@ -367,6 +385,15 @@ def verify_brainfuck(proof: dict) -> None:
         decs = [merkle.MerkleDecommitment.from_json(d) for d in proof["decommitments"]]
     except (KeyError, ValueError, TypeError) as exc:
         raise VerificationError(f"malformed proof: {exc}")
+
+    floor = min_config or MIN_SECURITY_CONFIG
+    if (config.log_blowup < max(1, floor.log_blowup)
+            or config.n_queries < floor.n_queries
+            or config.pow_bits < floor.pow_bits
+            or not (0 <= config.log_max_rows <= 28)):
+        raise VerificationError(f"insecure proof parameters: {config}")
+    if len(roots) != N_TREES or len(decs) != N_TREES or len(sampled) != N_TREES:
+        raise VerificationError("bad tree count")
 
     if set(claim) != {c.name for c in COMPONENT_CLASSES}:
         raise VerificationError("bad claim components")
@@ -469,7 +496,7 @@ def verify_brainfuck(proof: dict) -> None:
                     point=shifted_point(z, meta.log_size, s), value=v, alpha_index=aidx))
                 aidx += 1
             vals = got[lvl][ci]
-            positions = query_positions_by_level(queries, s_max, [lvl])[lvl]
+            positions = pos[lvl]
             values_by_size.setdefault(lvl, []).append(
                 (dict(zip(positions, vals)), claims)
             )

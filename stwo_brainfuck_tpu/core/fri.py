@@ -121,7 +121,6 @@ class FriProver:
     layer_levels: List[int]                  # line level of each layer
     circle_fold_alpha: tuple
     max_log: int
-    input_logs: List[int]
 
 
 def fri_commit(inputs: Dict[int, jnp.ndarray], channel) -> FriProver:
@@ -176,7 +175,7 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel) -> FriProver:
     return FriProver(
         proof=proof, layers=layers, layer_evals=layer_evals,
         layer_levels=layer_levels,
-        circle_fold_alpha=beta0, max_log=max_log, input_logs=logs,
+        circle_fold_alpha=beta0, max_log=max_log,
     )
 
 

@@ -26,14 +26,6 @@ _MASK31 = np.uint32(0x7FFF_FFFF)
 _MASK16 = np.uint32(0xFFFF)
 
 
-def as_m31(x) -> jnp.ndarray:
-    """Convert an integer array/scalar to a canonical uint32 M31 array."""
-    arr = jnp.asarray(x)
-    if arr.dtype in (jnp.int64, jnp.uint64, jnp.int32):
-        arr = arr.astype(jnp.uint32)
-    return reduce_once(arr.astype(jnp.uint32))
-
-
 def reduce_once(x: jnp.ndarray) -> jnp.ndarray:
     """Reduce x < 2^32 to canonical [0, p). Folds bit 31 and subtracts p once."""
     x = (x & _MASK31) + (x >> 31)

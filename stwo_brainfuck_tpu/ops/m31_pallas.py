@@ -60,11 +60,22 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
+def _pallas_ok(x) -> bool:
+    """Pallas path requires total size divisible into whole (block, 128)
+    tiles; anything else falls back to the fused XLA implementation."""
+    n = int(np.prod(x.shape))
+    if n % _LANES:
+        return False
+    rows = n // _LANES
+    return rows % min(_BLOCK, rows) == 0
+
+
 def _pallas_elementwise(kernel, n_in, x, *rest):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = x.shape[-1]
+    shape = x.shape
+    n = int(np.prod(shape))
     rows = n // _LANES
     blk = min(_BLOCK, rows)
     grid = (rows // blk,)
@@ -77,14 +88,14 @@ def _pallas_elementwise(kernel, n_in, x, *rest):
         in_specs=[spec] * n_in,
         out_specs=spec,
     )(*args)
-    return out.reshape(n)
+    return out.reshape(shape)
 
 
 @jax.jit
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise M31 product; Pallas on TPU, jnp elsewhere. Requires the
-    flattened length to be a multiple of 128 on the Pallas path."""
-    if not _on_tpu() or a.shape[-1] % _LANES:
+    """Elementwise M31 product; Pallas on TPU (whole-tile shapes), fused XLA
+    otherwise."""
+    if not _on_tpu() or not _pallas_ok(a) or a.shape != b.shape:
         return m31.mul(a, b)
     return _pallas_elementwise(_mul_kernel, 2, a, b)
 
@@ -92,7 +103,7 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def mul_add(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """a*b + c mod p, fused."""
-    if not _on_tpu() or a.shape[-1] % _LANES:
+    if not _on_tpu() or not _pallas_ok(a) or not (a.shape == b.shape == c.shape):
         return m31.add(m31.mul(a, b), c)
     return _pallas_elementwise(_mul_add_kernel, 3, a, b, c)
 

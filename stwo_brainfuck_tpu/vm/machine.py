@@ -123,8 +123,12 @@ class Machine:
         ram = self.ram
         if ins is InstructionType.Right:
             regs.mp = (regs.mp + 1) % P_INT
+            if regs.mp >= len(ram):
+                raise MachineError("memory pointer out of range")
         elif ins is InstructionType.Left:
             regs.mp = (regs.mp - 1) % P_INT
+            if regs.mp >= len(ram):
+                raise MachineError("memory pointer out of range")
         elif ins is InstructionType.Plus:
             ram[regs.mp] = (ram[regs.mp] + 1) % P_INT
         elif ins is InstructionType.Minus:

@@ -26,6 +26,7 @@ BF_ERR_OUTPUT_OVERFLOW = 5
 
 _ERROR_MESSAGES = {
     BF_ERR_INPUT_EOF: "I/O operation failed: unexpected EOF on input",
+    BF_ERR_TRACE_OVERFLOW: "program exceeded the maximum step count",
     BF_ERR_BAD_INSTRUCTION: "Invalid instruction",
     BF_ERR_MP_RANGE: "memory pointer out of range",
     BF_ERR_OUTPUT_OVERFLOW: "output overflow",

@@ -129,3 +129,34 @@ def test_fixed_ladder_top_with_unused_sizes():
     m.execute()
     p = air.prove_brainfuck(m, PcsConfig(log_max_rows=12, n_queries=8, pow_bits=4))
     air.verify_brainfuck(p)
+
+
+def test_reject_weakened_security_parameters(proof):
+    """A forger must not be able to downgrade the verifier's security
+    parameters via the proof's embedded config."""
+    for field_name, value in [("log_blowup", 0), ("n_queries", 1), ("pow_bits", 0)]:
+        p = copy.deepcopy(proof)
+        p["config"][field_name] = value
+        with pytest.raises(air.VerificationError, match="insecure|malformed"):
+            air.verify_brainfuck(p)
+    p = copy.deepcopy(proof)
+    p["config"]["log_max_rows"] = 60  # would allocate 2^60 preprocessed rows
+    with pytest.raises(air.VerificationError):
+        air.verify_brainfuck(p)
+
+
+def test_reject_structurally_broken_proofs_cleanly(proof):
+    """Malformed structures must raise VerificationError, never crash."""
+    p = copy.deepcopy(proof)
+    p["decommitments"] = []
+    _expect_fail(p)
+
+    p = copy.deepcopy(proof)
+    lvl = next(iter(p["decommitments"][1]["column_values"]))
+    p["decommitments"][1]["column_values"][lvl][0][0] = 2**40
+    _expect_fail(p)
+
+    p = copy.deepcopy(proof)
+    k = next(iter(p["fri"]["layer_values"][0]))
+    p["fri"]["layer_values"][0][k] = [1, 2, 3]  # wrong arity
+    _expect_fail(p)

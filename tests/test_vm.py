@@ -124,3 +124,31 @@ def test_fib19():
     m = run_file("fib19.bf", ram_size=5)
     assert m.output_bytes() == bytes([85])  # 4181 % 256
     assert m.memory() == [0, 2584, 4181, 0, 0]  # README.md:117-126
+
+
+def test_mp_out_of_range_python_path():
+    import io
+
+    class Stream(io.RawIOBase):
+        def read(self, n=-1):
+            return b""
+
+    # Python fallback: '<' from cell 0 must raise MachineError, matching native
+    m = Machine(compile_program("<"), input_data=Stream())
+    with pytest.raises(MachineError, match="memory pointer"):
+        m.execute()
+
+
+def test_mp_out_of_range_native_path():
+    m = create_test_machine(compile_program("<"))
+    with pytest.raises(MachineError, match="memory pointer"):
+        m.execute()
+
+
+def test_runaway_program_errors_instead_of_hanging():
+    from stwo_brainfuck_tpu.vm import native
+
+    if not native.available():
+        pytest.skip("native VM unavailable")
+    with pytest.raises(RuntimeError, match="maximum step"):
+        native.execute(compile_program("+[]"), b"", 10, max_steps=100000)
