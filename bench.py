@@ -94,6 +94,7 @@ def main() -> int:
         "steps": steps,
         "proof_khz": round(khz, 2),
         "cold_prove_s": round(cold, 1),
+        "proof_bytes": len(json.dumps(proof)),
     }))
     return 0
 
