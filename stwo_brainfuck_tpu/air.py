@@ -101,10 +101,21 @@ class SystemLayout:
         return max(self.claim.values()) + self.config.log_blowup
 
 
+# Capacity bound: the reference refuses components above 2^24 rows
+# (LOG_MAX_ROWS, brainfuck_air/mod.rs:427-428); sierpinski.bf exceeds it in
+# both implementations (its memory table's clk-gap fill needs 2^25 rows).
+LOG_MAX_ROWS_CAP = 24
+
+
 def build_layout(claim: Dict[str, int], config: PcsConfig) -> SystemLayout:
     comps = [cls(claim[cls.name]) for cls in COMPONENT_CLASSES]
     max_log = max(claim.values())
     top = config.log_max_rows if config.log_max_rows else max_log
+    if max_log > LOG_MAX_ROWS_CAP:
+        big = {n: lg for n, lg in claim.items() if lg > LOG_MAX_ROWS_CAP}
+        raise ProvingError(
+            f"program exceeds the 2^{LOG_MAX_ROWS_CAP} rows/component capacity "
+            f"(reference LOG_MAX_ROWS): {big}")
     if top < max_log:
         raise ProvingError(f"log_max_rows {top} < max component log {max_log}")
     ladder = list(range(top, MIN_LOG_SIZE - 1, -1))
@@ -398,7 +409,7 @@ def _verify_brainfuck_inner(proof: dict, min_config: Optional[PcsConfig]) -> Non
     if set(claim) != {c.name for c in COMPONENT_CLASSES}:
         raise VerificationError("bad claim components")
     for name, lg in claim.items():
-        if not (MIN_LOG_SIZE <= lg <= 28):
+        if not (MIN_LOG_SIZE <= lg <= LOG_MAX_ROWS_CAP):
             raise VerificationError(f"claim log_size out of range: {name}={lg}")
     try:
         layout = build_layout(claim, config)

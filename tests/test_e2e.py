@@ -160,3 +160,16 @@ def test_reject_structurally_broken_proofs_cleanly(proof):
     k = next(iter(p["fri"]["layer_values"][0]))
     p["fri"]["layer_values"][0][k] = [1, 2, 3]  # wrong arity
     _expect_fail(p)
+
+
+def test_reject_program_exceeding_capacity():
+    """Components above 2^24 rows are refused like the reference's
+    LOG_MAX_ROWS bound (mod.rs:427-428) — checked via a small synthetic
+    claim rather than actually building a 2^25-row table."""
+    from stwo_brainfuck_tpu.air import LOG_MAX_ROWS_CAP, build_layout
+    from stwo_brainfuck_tpu.core.pcs import PcsConfig
+
+    claim = {c.name: 4 for c in air.COMPONENT_CLASSES}
+    claim["memory"] = LOG_MAX_ROWS_CAP + 1
+    with pytest.raises(air.ProvingError, match="capacity"):
+        build_layout(claim, PcsConfig(log_max_rows=0))
