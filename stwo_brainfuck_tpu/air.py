@@ -224,14 +224,12 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
     from .framework.component import build_interaction_trace_async
     from .utils.transfer import pull_all
 
-    inter_by_comp: Dict[str, List[jnp.ndarray]] = {}
     inter_cols: List[Tuple[int, jnp.ndarray]] = []
     claimed_futs = []
     for comp in comps:
         cols = dev_tabs[comp.name]
         inter, claimed_dev = build_interaction_trace_async(comp, cols, elements)
         claimed_futs.append(claimed_dev)
-        inter_by_comp[comp.name] = inter
         for q in inter:
             for c in range(4):
                 inter_cols.append((comp.log_size, q[c]))
