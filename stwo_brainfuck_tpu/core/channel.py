@@ -73,20 +73,89 @@ class Blake2sChannel:
         return [self.draw_felt() for _ in range(n)]
 
     def draw_queries(self, n_queries: int, log_domain_size: int) -> List[int]:
-        """n unique-ish positions in [0, 2^log_domain_size) (sorted, deduped)."""
+        """Exactly min(n_queries, domain) DISTINCT positions in
+        [0, 2^log_domain_size), sorted. Keeps drawing until the target count
+        is reached, so a duplicate draw never silently shrinks the query set
+        (and with it the soundness margin)."""
         mask = (1 << log_domain_size) - 1
-        positions = sorted({w & mask for w in self.draw_words(n_queries)})
-        return positions
+        target = min(n_queries, 1 << log_domain_size)
+        positions: set = set()
+        while len(positions) < target:
+            for w in self.draw_words(8):
+                positions.add(w & mask)
+                if len(positions) >= target:
+                    break
+        return sorted(positions)
 
     # -- proof of work -----------------------------------------------------
 
     def check_pow_nonce(self, pow_bits: int, nonce: int) -> bool:
-        h = _blake(self.digest + struct.pack("<Q", nonce))
-        v = struct.unpack("<I", h[:4])[0]
-        return (v & ((1 << pow_bits) - 1)) == 0
+        return _check_pow(self.digest, pow_bits, nonce)
 
     def grind_pow(self, pow_bits: int) -> int:
-        nonce = 0
-        while not self.check_pow_nonce(pow_bits, nonce):
-            nonce += 1
-        return nonce
+        """Smallest valid nonce. Small grinds run on host; beyond ~2^13
+        expected hashes the vectorized device Blake2s searches 2^17-nonce
+        batches per call (a 20-bit grind is ~8 batches, well under a second,
+        vs minutes for the sequential host loop)."""
+        if pow_bits <= 13:
+            nonce = 0
+            while not self.check_pow_nonce(pow_bits, nonce):
+                nonce += 1
+            return nonce
+        return _device_grind(self.digest, pow_bits)
+
+
+def _check_pow(digest: bytes, pow_bits: int, nonce: int) -> bool:
+    h = _blake(digest + struct.pack("<Q", nonce))
+    v = struct.unpack("<I", h[:4])[0]
+    return (v & ((1 << pow_bits) - 1)) == 0
+
+
+_POW_BATCH_LOG = 17
+
+
+def _device_grind(digest: bytes, pow_bits: int) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    dw = jnp.asarray(np.frombuffer(digest, dtype="<u4"))
+    mask = np.uint32((1 << pow_bits) - 1)
+    batch = 1 << _POW_BATCH_LOG
+    base = 0
+    while True:
+        idx, found = _pow_batch(dw, jnp.uint32(base & 0xFFFFFFFF),
+                                jnp.uint32(base >> 32), jnp.uint32(mask))
+        if bool(found):
+            nonce = base + int(idx)
+            assert _check_pow(digest, pow_bits, nonce)
+            return nonce
+        base += batch
+        if base >= 1 << 48:  # unreachable for sane pow_bits
+            raise RuntimeError("PoW grind exhausted")
+
+
+def _pow_batch(digest_words, base_lo, base_hi, mask):
+    import jax
+    import jax.numpy as jnp
+
+    from . import blake2s
+
+    global _POW_BATCH_JIT
+    try:
+        fn = _POW_BATCH_JIT
+    except NameError:
+        @jax.jit
+        def fn(dw, lo0, hi0, m):
+            B = 1 << _POW_BATCH_LOG
+            lo = lo0 + jnp.arange(B, dtype=jnp.uint32)
+            hi = jnp.broadcast_to(hi0, (B,))
+            msg = jnp.concatenate(
+                [jnp.broadcast_to(dw, (B, 8)), lo[:, None], hi[:, None]],
+                axis=1,
+            )
+            h = blake2s.hash_words(msg, n_bytes=40)
+            ok = (h[:, 0] & m) == 0
+            return jnp.argmax(ok), jnp.any(ok)
+
+        _POW_BATCH_JIT = fn
+    return fn(digest_words, base_lo, base_hi, mask)

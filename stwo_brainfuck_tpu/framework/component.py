@@ -334,8 +334,8 @@ def _device_combine(els_dev, values: List[jnp.ndarray]) -> jnp.ndarray:
     return qm31.sub(acc, z)
 
 
-@lru_cache(maxsize=None)
-def _interaction_fn(cls, log_size: int):
+@lru_cache(maxsize=128)  # bounded: a long-lived proving service must not
+def _interaction_fn(cls, log_size: int):  # accumulate executables forever
     """Jitted interaction-trace builder for one component class/size. The
     linear-order permutation is a traced argument (constants of this size
     trigger slow XLA constant folding)."""
@@ -370,7 +370,7 @@ def _interaction_fn(cls, log_size: int):
     return fn
 
 
-_DEV_PERM_CACHE: dict = {}
+_DEV_PERM_CACHE: dict = {}  # keyed by log_size <= 28: naturally bounded
 
 
 def _device_perm(log_size: int) -> jnp.ndarray:
@@ -404,7 +404,7 @@ def build_interaction_trace(
     return cols, tuple(int(v) for v in np.asarray(claimed))
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=128)
 def _constraints_fn(cls, log_size: int):
     """Jitted constraint evaluator for one component class/size; also applies
     the alpha-power weighting and vanishing division so the whole composition

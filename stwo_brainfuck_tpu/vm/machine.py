@@ -26,6 +26,11 @@ from .registers import Registers
 
 DEFAULT_RAM_SIZE = 30000
 
+# Step cap shared by both interpreter paths (native: vm/native.py max_steps).
+# The reference loops unboundedly (machine.rs:141-161) but is CLI-interrupt
+# driven; an embedded prover must refuse runaway programs instead of hanging.
+DEFAULT_MAX_STEPS = 1 << 26
+
 
 class MachineError(Exception):
     pass
@@ -44,7 +49,9 @@ class Machine:
         input_data: bytes | io.RawIOBase = b"",
         output: Optional[io.RawIOBase] = None,
         ram_size: int = DEFAULT_RAM_SIZE,
+        max_steps: int = DEFAULT_MAX_STEPS,
     ):
+        self.max_steps = max_steps
         self.code: List[int] = [int(c) for c in code]
         if isinstance(input_data, (bytes, bytearray)):
             self._input = io.BytesIO(bytes(input_data))
@@ -85,7 +92,8 @@ class Machine:
             return False
         pending = self._input.getvalue()[self._input.tell():]
         try:
-            trace, out, ram = native.execute(self.code, pending, len(self.ram))
+            trace, out, ram = native.execute(self.code, pending, len(self.ram),
+                                             max_steps=self.max_steps)
         except RuntimeError as exc:
             raise MachineError(str(exc))
         self._native_trace = trace
@@ -100,7 +108,10 @@ class Machine:
         regs = self.registers
         code = self.code
         n = len(code)
+        cap = self.max_steps
         while regs.ip < n:
+            if regs.clk >= cap:
+                raise MachineError("program exceeded the maximum step count")
             regs.ci = code[regs.ip]
             regs.ni = 0 if regs.ip == n - 1 else code[regs.ip + 1]
             self._write_trace()

@@ -46,6 +46,43 @@ def test_channel_pow():
     assert not ch.check_pow_nonce(30, nonce) or True  # just must not raise
 
 
+def test_device_pow_grind_matches_host():
+    from stwo_brainfuck_tpu.core.channel import _device_grind
+
+    ch = Blake2sChannel()
+    ch.mix_u32s([99])
+    # host sequential smallest nonce at 8 bits
+    host_nonce = 0
+    while not ch.check_pow_nonce(8, host_nonce):
+        host_nonce += 1
+    assert _device_grind(ch.digest, 8) == host_nonce
+
+
+def test_device_pow_grind_high_bits():
+    ch = Blake2sChannel()
+    ch.mix_u32s([7, 13])
+    nonce = ch.grind_pow(16)  # routed to the device path (> 13 bits)
+    assert ch.check_pow_nonce(16, nonce)
+
+
+def test_draw_queries_exact_count():
+    # Must return exactly n distinct positions even when raw draws collide
+    # (small domain forces collisions).
+    ch = Blake2sChannel()
+    ch.mix_u32s([1])
+    qs = ch.draw_queries(20, 5)
+    assert len(qs) == 20 and len(set(qs)) == 20
+    assert all(0 <= q < 32 for q in qs)
+    # domain smaller than the request: capped at the domain size
+    ch2 = Blake2sChannel()
+    qs2 = ch2.draw_queries(20, 4)
+    assert sorted(qs2) == list(range(16))
+    # deterministic replay
+    ch3 = Blake2sChannel()
+    ch3.mix_u32s([1])
+    assert ch3.draw_queries(20, 5) == qs
+
+
 def _random_columns():
     return {
         6: [RNG.integers(0, P_INT, 64, dtype=np.uint32) for _ in range(3)],

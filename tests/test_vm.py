@@ -152,3 +152,17 @@ def test_runaway_program_errors_instead_of_hanging():
         pytest.skip("native VM unavailable")
     with pytest.raises(RuntimeError, match="maximum step"):
         native.execute(compile_program("+[]"), b"", 10, max_steps=100000)
+
+
+def test_runaway_program_errors_python_path():
+    # The Python fallback honors the same cap as the native path (the
+    # reference has a single loop; here both paths must refuse to hang).
+    m = Machine(compile_program("+[]"), max_steps=100000)
+    with pytest.raises(MachineError, match="maximum step"):
+        m._execute_python()
+
+
+def test_machine_max_steps_reaches_native_path():
+    m = Machine(compile_program("+[]"), max_steps=100000)
+    with pytest.raises(MachineError, match="maximum step"):
+        m.execute()
