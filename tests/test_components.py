@@ -89,38 +89,221 @@ def test_hello_world_constraints():
     assert total == qm31.ZERO
 
 
-def _mutate_and_expect_violation(comp_name, col, row, delta=1):
+def _mutate_and_expect_violation(comp_name, col, row, delta=1, expect_idx=None):
+    """Mutate one table cell and require a constraint violation. When
+    expect_idx is given, THAT constraint must be among the violated ones —
+    proving the specific constraint is load-bearing (reference style,
+    memory/component.rs:211-609)."""
     m = run("+++>,<[>+.<-]", b"\x01")
     tabs = build_all(m)
     els = elements()
     cols = dict(tabs[comp_name])
+    if callable(row):
+        row = row(cols)
     mutated = cols[col].copy()
     mutated[row] = (int(mutated[row]) + delta) % (2**31 - 1)
     cols[col] = mutated
     cls = next(c for c in COMPONENT_CLASSES if c.name == comp_name)
     comp, out, _ = check_component(cls, cols, els)
-    assert any(np.asarray(c).any() for c in out), "mutation not caught"
+    fired = {i for i, c in enumerate(out) if np.asarray(c).any()}
+    assert fired, "mutation not caught"
+    if expect_idx is not None:
+        assert expect_idx in fired, (
+            f"{comp_name}: expected constraint {expect_idx} to fire, got {fired}")
 
 
-# Mirrors the reference's negative tests (memory/component.rs:211-609 etc.)
+def _first_dummy(cols):
+    return int(np.nonzero(np.asarray(cols["d"]) == 1)[0][0])
+
+
+def _first_where(expr):
+    def find(cols):
+        mask = expr({k: np.asarray(v).astype(np.int64) for k, v in cols.items()})
+        idx = np.nonzero(mask)[0]
+        assert len(idx), "no row matches the mutation precondition"
+        return int(idx[0])
+    return find
+
+
+# Complete mutation matrix: >= 1 negative test per constraint class per
+# component; expected indices follow the e.add() order in components/defs.py.
+# Mirrors (and extends to all 13 components) the reference's #[should_panic]
+# suite (memory/component.rs:211-609, plus_component.rs, ...).
 @pytest.mark.parametrize(
-    "comp,col,row",
+    "comp,col,row,delta,idx",
     [
-        ("memory", "clk", 0),        # invalid boundary clk
-        ("memory", "mv", 0),         # invalid boundary mv
-        ("memory", "next_mp", 2),    # invalid mp transition
-        ("memory", "d", 1),          # d not boolean / wrong flag
-        ("processor", "next_clk", 0),
-        ("processor", "mvi", 1),
-        ("instruction", "next_ip", 3),
-        ("program", "d", 0),
-        ("jump_if_zero", "next_ip", 0),
-        ("plus_instruction", "next_mv", 0),
-        ("end_of_execution", "ci", 0),
+        # memory: defs.py:30-52 (11 constraints)
+        ("memory", "clk", 0, 1, 0),              # boundary clk
+        ("memory", "mp", 0, 1, 1),               # boundary mp
+        ("memory", "mv", 0, 1, 2),               # boundary mv
+        ("memory", "d", 0, 1, 3),                # boundary d
+        ("memory", "d", _first_where(lambda c: c["d"] == 0), 5, 4),   # d bool
+        ("memory", "next_d", 1, 5, 5),           # next_d bool
+        ("memory", "next_mp", 2, 5, 6),          # mp increases by 0/1
+        ("memory", "next_clk",                   # same mp => clk + 1
+         _first_where(lambda c: c["next_mp"] == c["mp"]), 5, 7),
+        ("memory", "next_mv",                    # mp+1 => next_mv = 0
+         _first_where(lambda c: c["next_mp"] == c["mp"] + 1), 1, 8),
+        ("memory", "next_mp", _first_dummy, 1, 9),   # d => mp frozen
+        ("memory", "next_mv",                    # d => mv frozen (mp same)
+         _first_where(lambda c: (c["d"] == 1) & (c["next_mp"] == c["mp"])), 1, 10),
+        # instruction: defs.py:61-78 (10 constraints)
+        ("instruction", "ip", 0, 1, 0),
+        ("instruction", "d", _first_where(lambda c: c["d"] == 0), 5, 1),
+        ("instruction", "next_d", 1, 5, 2),
+        ("instruction", "ci", _first_dummy, 1, 3),
+        ("instruction", "ni", _first_dummy, 1, 4),
+        ("instruction", "next_ci",
+         _first_where(lambda c: c["next_d"] == 1), 1, 5),
+        ("instruction", "next_ni",
+         _first_where(lambda c: c["next_d"] == 1), 1, 6),
+        ("instruction", "next_ip", 3, 5, 7),     # ip +0/1
+        ("instruction", "next_ci",               # same ip => ci frozen
+         _first_where(lambda c: (c["next_ip"] == c["ip"]) & (c["next_d"] == 0)), 1, 8),
+        ("instruction", "next_ni",
+         _first_where(lambda c: (c["next_ip"] == c["ip"]) & (c["next_d"] == 0)), 1, 9),
+        # program: defs.py:87-93 (4 constraints)
+        ("program", "ip", 0, 1, 0),
+        ("program", "d", 0, 5, 1),  # delta 5: keep it non-boolean
+        ("program", "ci", _first_dummy, 1, 2),
+        ("program", "ni", _first_dummy, 1, 3),
+        # processor: defs.py:103-115 (7 constraints)
+        ("processor", "clk", 0, 1, 0),
+        ("processor", "ip", 0, 1, 1),
+        ("processor", "mp", 0, 1, 2),
+        ("processor", "mv", 0, 1, 3),
+        ("processor", "mvi",                     # mv*(mv*mvi - 1)
+         _first_where(lambda c: c["mv"] != 0), 1, 4),
+        ("processor", "mvi",                     # mvi*(mv*mvi - 1)
+         _first_where(lambda c: (c["mv"] == 0) & (c["clk"] > 0)), 1, 5),
+        ("processor", "next_clk", 0, 1, 6),
+        # jump_if_not_zero: defs.py:129-160 (8 constraints)
+        ("jump_if_not_zero", "ci", _first_where(lambda c: c["d"] == 0), 1, 0),
+        ("jump_if_not_zero", "next_clk", 0, 1, 1),
+        ("jump_if_not_zero", "d", _first_where(lambda c: c["d"] == 0), 5, 2),
+        ("jump_if_not_zero", "mv", _first_dummy, 1, 3),
+        ("jump_if_not_zero", "ci", _first_dummy, 1, 4),
+        ("jump_if_not_zero", "next_ip",          # the jump constraint
+         _first_where(lambda c: c["d"] == 0), 1, 5),
+        ("jump_if_not_zero", "next_mp", 0, 1, 6),
+        ("jump_if_not_zero", "next_mv",
+         _first_where(lambda c: c["d"] == 0), 1, 7),
+        # jump_if_zero: defs.py:171-176
+        ("jump_if_zero", "ci", _first_where(lambda c: c["d"] == 0), 1, 0),
+        ("jump_if_zero", "next_clk", 0, 1, 1),
+        ("jump_if_zero", "next_ip",
+         _first_where(lambda c: c["d"] == 0), 1, 5),
+        # opcode components: defs.py:188-255 (5 shared + extra)
+        ("plus_instruction", "ci", _first_where(lambda c: c["d"] == 0), 1, 0),
+        ("plus_instruction", "d", _first_where(lambda c: c["d"] == 0), 5, 1),
+        ("plus_instruction", "mv", _first_dummy, 1, 2),
+        ("plus_instruction", "ci", _first_dummy, 1, 3),
+        ("plus_instruction", "next_ip", _first_where(lambda c: c["d"] == 0), 1, 4),
+        ("plus_instruction", "next_mp", 0, 1, 5),
+        ("plus_instruction", "next_mv", _first_where(lambda c: c["d"] == 0), 1, 6),
+        ("minus_instruction", "ci", _first_where(lambda c: c["d"] == 0), 1, 0),
+        ("minus_instruction", "next_mp", 0, 1, 5),
+        ("minus_instruction", "next_mv", _first_where(lambda c: c["d"] == 0), 1, 6),
+        ("left_instruction", "ci", _first_where(lambda c: c["d"] == 0), 1, 0),
+        ("left_instruction", "next_ip", _first_where(lambda c: c["d"] == 0), 1, 4),
+        ("left_instruction", "next_mp", _first_where(lambda c: c["d"] == 0), 1, 5),
+        ("right_instruction", "ci", _first_where(lambda c: c["d"] == 0), 1, 0),
+        ("right_instruction", "next_mp", _first_where(lambda c: c["d"] == 0), 1, 5),
+        ("input_instruction", "ci", _first_where(lambda c: c["d"] == 0), 1, 0),
+        ("input_instruction", "next_mp", 0, 1, 5),
+        ("output_instruction", "ci", _first_where(lambda c: c["d"] == 0), 1, 0),
+        ("output_instruction", "next_mp", 0, 1, 5),
+        ("output_instruction", "next_mv", 0, 1, 6),
+        # end_of_execution: defs.py:268
+        ("end_of_execution", "ci", 0, 1, 0),
     ],
 )
-def test_mutations_violate_constraints(comp, col, row):
-    _mutate_and_expect_violation(comp, col, row)
+def test_mutations_violate_constraints(comp, col, row, delta, idx):
+    _mutate_and_expect_violation(comp, col, row, delta, idx)
+
+
+def _tamper_interaction(comp_name, which, tamper):
+    """Evaluate constraints with a tampered interaction trace; returns the
+    set of violated constraint indices."""
+    m = run("+++>,<[>+.<-]", b"\x01")
+    tabs = build_all(m)
+    els = elements()
+    cols = tabs[comp_name]
+    log_size = int(np.log2(len(next(iter(cols.values())))))
+    cls = next(c for c in COMPONENT_CLASSES if c.name == comp_name)
+    comp = cls(log_size)
+    main = {k: jnp.asarray(v) for k, v in cols.items()}
+    inter, claimed = build_interaction_trace(comp, main, els)
+    inter = [np.asarray(q).copy() for q in inter]
+    claimed = list(claimed)
+    tamper(inter, claimed)
+    inter = [jnp.asarray(q) for q in inter]
+    s = inter[-1]
+    perm = jnp.asarray(rotation_permutation(log_size, 0, 1))
+    s_prev = jnp.take(s, perm, axis=1)
+    is_first = jnp.zeros(1 << log_size, jnp.uint32).at[0].set(1)
+    out = evaluate_constraints_device(
+        comp, main, inter, s_prev, is_first, tuple(claimed), els)
+    return {i for i, c in enumerate(out) if np.asarray(c).any()}, comp
+
+
+# One LogUp tamper per element set: a wrong multiplicity (tampered fraction
+# column) must fire the Q*den - num constraint; a wrong claimed sum must fire
+# the prefix-sum constraint (reference: the claimed-sum recomputation tests,
+# memory/table.rs:810-878).
+def test_logup_tamper_memory_fraction():
+    fired, comp = _tamper_interaction(
+        "memory", 0, lambda inter, cl: inter[0].__setitem__((0, 2), (int(inter[0][0, 2]) + 1) % (2**31 - 1)))
+    n_base = comp.constraint_count() - comp.relation_count() - 1
+    assert n_base in fired  # Q_0 * den - num
+
+
+def test_logup_tamper_processor_instruction_entry():
+    # processor's 2nd relation entry (InstructionElements)
+    fired, comp = _tamper_interaction(
+        "processor", 1, lambda inter, cl: inter[1].__setitem__((1, 3), (int(inter[1][1, 3]) + 1) % (2**31 - 1)))
+    n_base = comp.constraint_count() - comp.relation_count() - 1
+    assert n_base + 1 in fired  # Q_1 * den - num
+
+
+def test_logup_tamper_claimed_sum():
+    fired, comp = _tamper_interaction(
+        "memory", 0, lambda inter, cl: cl.__setitem__(0, (cl[0] + 1) % (2**31 - 1)))
+    assert comp.constraint_count() - 1 in fired  # prefix-sum constraint
+
+
+def test_logup_tamper_prefix_sum_column():
+    fired, comp = _tamper_interaction(
+        "memory", 0, lambda inter, cl: inter[-1].__setitem__((2, 5), (int(inter[-1][2, 5]) + 1) % (2**31 - 1)))
+    assert comp.constraint_count() - 1 in fired
+
+
+def test_logup_wrong_multiplicity_flipped_d():
+    """Multiplicity forgery: interaction trace built from a table whose d
+    flag was flipped (row claimed as dummy), evaluated against the REAL main
+    trace — the fraction constraint must fire."""
+    m = run("+++>,<[>+.<-]", b"\x01")
+    tabs = build_all(m)
+    els = elements()
+    cols = tabs["memory"]
+    log_size = int(np.log2(len(cols["clk"])))
+    comp = COMPONENT_CLASSES[0](log_size)
+    forged = dict(cols)
+    dcol = forged["d"].copy()
+    dcol[0] = 1  # claim the first real row is a dummy (multiplicity 0)
+    forged["d"] = dcol
+    inter, claimed = build_interaction_trace(
+        comp, {k: jnp.asarray(v) for k, v in forged.items()}, els)
+    s = inter[-1]
+    perm = jnp.asarray(rotation_permutation(log_size, 0, 1))
+    s_prev = jnp.take(s, perm, axis=1)
+    is_first = jnp.zeros(1 << log_size, jnp.uint32).at[0].set(1)
+    out = evaluate_constraints_device(
+        comp, {k: jnp.asarray(v) for k, v in cols.items()}, inter, s_prev,
+        is_first, claimed, els)
+    n_base = comp.constraint_count() - comp.relation_count() - 1
+    fired = {i for i, c in enumerate(out) if np.asarray(c).any()}
+    assert n_base in fired
 
 
 def test_interaction_dummy_rows_do_not_affect_sum():
