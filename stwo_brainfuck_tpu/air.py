@@ -184,10 +184,22 @@ def lookup_sum_valid(iclaim: Dict[str, tuple]) -> bool:
 # Prover
 # ---------------------------------------------------------------------------
 
-def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
+def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
+                    mesh=None) -> dict:
     """Generate a proof for an executed Machine. Returns a JSON-able dict
-    (the BrainfuckProof equivalent, mod.rs:71-76)."""
+    (the BrainfuckProof equivalent, mod.rs:71-76).
+
+    mesh: optional jax.sharding.Mesh — the multi-device analog of the
+    reference's whole-prover `parallel` feature (brainfuck_prover/
+    Cargo.toml:13): every heavy phase (FFT extends, Merkle commits, LogUp,
+    composition, quotients, FRI folds) runs SPMD over the mesh via
+    parallel/prove.py. The proof bytes are identical for any device count."""
     config = config or PcsConfig(log_max_rows=0)  # 0 = auto ladder top
+    ops = None
+    if mesh is not None:
+        from .parallel.prove import ShardedOps
+
+        ops = ShardedOps(mesh)
     log = logging.getLogger("stwo_brainfuck_tpu")
     log.info("Protocol setup")
     trace = machine.trace()
@@ -217,7 +229,7 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
     for comp in comps:
         for col in comp.columns:
             main_cols.append((comp.log_size, dev_tabs[comp.name][col]))
-    tree1 = TreeProver(main_cols, config, channel)
+    tree1 = TreeProver(main_cols, config, channel, ops=ops)
 
     log.info("Phase 2: interaction trace")
     elements = draw_elements(channel)
@@ -228,7 +240,10 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
     claimed_futs = []
     for comp in comps:
         cols = dev_tabs[comp.name]
-        inter, claimed_dev = build_interaction_trace_async(comp, cols, elements)
+        if ops is not None:
+            inter, claimed_dev = ops.interaction(comp, cols, elements)
+        else:
+            inter, claimed_dev = build_interaction_trace_async(comp, cols, elements)
         claimed_futs.append(claimed_dev)
         for q in inter:
             for c in range(4):
@@ -241,7 +256,7 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
     if not lookup_sum_valid(iclaim):
         raise ProvingError("LogUp sum does not cancel — invalid trace")
     mix_interaction_claim(channel, iclaim)
-    tree2 = TreeProver(inter_cols, config, channel)
+    tree2 = TreeProver(inter_cols, config, channel, ops=ops)
 
     log.info("Composition polynomial")
     alpha_comp = channel.draw_felt()
@@ -268,7 +283,8 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
         s_prev = jnp.take(s_ext, perm, axis=1)
         isf_ext = tree0.records[tree0_index[n]].extended
         v_inv = jnp.asarray(_vanishing_inv(n, n + blow))
-        contrib, alpha_idx = composition_contribution(
+        contribute = ops.composition_contribution if ops else composition_contribution
+        contrib, alpha_idx = contribute(
             comp, ext_main, ext_inter, s_prev, isf_ext, iclaim[comp.name],
             elements, alpha_comp, alpha_idx, v_inv,
         )
@@ -276,13 +292,16 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
         acc[lg] = contrib if lg not in acc else qm31.add(acc[lg], contrib)
 
     comp_log = layout.composition_log
+    interpolate = ops.interpolate if ops else fft.interpolate
+    evaluate = ops.evaluate if ops else fft.evaluate
     comp_coeffs = jnp.zeros((4, 1 << comp_log), jnp.uint32)
     for lg, arr in acc.items():
-        coeffs = fft.interpolate(arr, lg)  # (4, 2^lg)
+        coeffs = interpolate(arr, lg)  # (4, 2^lg)
         pad = (1 << comp_log) - (1 << lg)
         comp_coeffs = m31.add(comp_coeffs, jnp.pad(coeffs, ((0, 0), (0, pad))))
-    comp_evals = fft.evaluate(comp_coeffs, comp_log)
-    tree3 = TreeProver([(comp_log, comp_evals[c]) for c in range(4)], config, channel)
+    comp_evals = evaluate(comp_coeffs, comp_log)
+    tree3 = TreeProver([(comp_log, comp_evals[c]) for c in range(4)], config,
+                       channel, ops=ops)
 
     trees = [tree0, tree1, tree2, tree3]
 
@@ -317,12 +336,13 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None) -> dict:
     for size, pairs in claims_by_size.items():
         log.info("  quotients size 2^%d (%d columns)", size, len(pairs))
         fri_inputs[size] = quotients.accumulate_quotients(
-            size, [p[0] for p in pairs], [p[1] for p in pairs], alpha_q
+            size, [p[0] for p in pairs], [p[1] for p in pairs], alpha_q,
+            ops=ops,
         )
         fri_inputs[size].block_until_ready()
 
     log.info("FRI")
-    fri_prover = fri.fri_commit(fri_inputs, channel)
+    fri_prover = fri.fri_commit(fri_inputs, channel, ops=ops)
 
     log.info("PoW + queries")
     nonce = channel.grind_pow(config.pow_bits)

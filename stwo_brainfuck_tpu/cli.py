@@ -39,6 +39,9 @@ def _add_prove_args(p):
                    help="preprocessed ladder top (0 = auto from trace)")
     p.add_argument("--n-queries", type=int, default=20)
     p.add_argument("--pow-bits", type=int, default=10)
+    p.add_argument("--devices", type=int, default=0,
+                   help="prove on a mesh of N devices (the reference's "
+                        "'parallel' cargo feature analog); 0 = single chip")
 
 
 def cmd_prove(args) -> int:
@@ -73,8 +76,13 @@ def cmd_prove(args) -> int:
 
     config = PcsConfig(log_max_rows=args.log_max_rows, n_queries=args.n_queries,
                        pow_bits=args.pow_bits)
+    mesh = None
+    if args.devices:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
     t0 = time.time()
-    proof = air.prove_brainfuck(machine, config)
+    proof = air.prove_brainfuck(machine, config, mesh=mesh)
     proof_time = time.time() - t0
     log.info("Proof generation speed: %.2f kHz", steps / max(proof_time, 1e-9) / 1e3)
     log.info("Execution trace time: %.1f ms; proof time: %.2f s; total: %.2f s",

@@ -123,17 +123,33 @@ class FriProver:
     max_log: int
 
 
-def fri_commit(inputs: Dict[int, jnp.ndarray], channel) -> FriProver:
+def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
     """inputs: circle-domain size log -> combined quotient (4, 2^log).
     Performs all folds, committing each intermediate line layer and mixing
-    roots/last value into the channel."""
+    roots/last value into the channel.
+
+    ops: optional multi-device backend (parallel.prove.ShardedOps); folds and
+    layer commits then run sharded over the mesh with identical results."""
     logs = sorted(inputs, reverse=True)
     assert logs, "no FRI inputs"
     max_log = logs[0]
 
+    if ops is None:
+        fold_c, fold_l, commit_layer = fold_circle, fold_line, _commit_layer
+    else:
+        def fold_c(values, beta, log_size):
+            return ops.fold(values, _circle_fold_itw(log_size), beta)
+
+        def fold_l(values, beta, line_log):
+            return ops.fold(values, _line_fold_itw(line_log), beta)
+
+        def commit_layer(values):
+            log = values.shape[1].bit_length() - 1
+            return ops.commit({log: [values[k] for k in range(4)]})
+
     beta0 = channel.draw_felt()  # circle fold coefficient for all injections
 
-    cur = fold_circle(inputs[max_log], beta0, max_log)  # line size 2^(max-1)
+    cur = fold_c(inputs[max_log], beta0, max_log)  # line size 2^(max-1)
     m = max_log - 1
     layers: List[merkle.MerkleTree] = []
     layer_evals: List[jnp.ndarray] = []
@@ -142,25 +158,25 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel) -> FriProver:
 
     def inject(cur, m):
         if m + 1 in inputs and m + 1 != max_log:
-            return qm31.add(cur, fold_circle(inputs[m + 1], beta0, m + 1))
+            return qm31.add(cur, fold_c(inputs[m + 1], beta0, m + 1))
         return cur
 
     # Radix-4: each committed layer folds TWICE (beta, then beta^2) — halves
     # the sequential root->beta transcript chain and the layer count.
     while m > LOG_LAST_LAYER:
         cur = inject(cur, m)
-        tree = _commit_layer(cur)
+        tree = commit_layer(cur)
         layers.append(tree)
         layer_evals.append(cur)
         layer_levels.append(m)
         roots.append(tree.root)
         channel.mix_root(tree.root)
         beta = channel.draw_felt()
-        cur = fold_line(cur, beta, m)
+        cur = fold_l(cur, beta, m)
         m -= 1
         if m > LOG_LAST_LAYER:
             cur = inject(cur, m)
-            cur = fold_line(cur, qm31.h_mul(beta, beta), m)
+            cur = fold_l(cur, qm31.h_mul(beta, beta), m)
             m -= 1
 
     cur = inject(cur, m)

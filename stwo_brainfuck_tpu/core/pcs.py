@@ -53,10 +53,19 @@ class ColumnRecord:
 class TreeProver:
     """One committed phase: extend columns, commit, sample, decommit."""
 
-    def __init__(self, columns: Sequence[Tuple[int, jnp.ndarray]], config: PcsConfig, channel):
+    def __init__(self, columns: Sequence[Tuple[int, jnp.ndarray]], config: PcsConfig,
+                 channel, ops=None):
         """columns: list of (log_size, trace-domain evaluation). Columns of a
-        common size are batched through one interpolate/extend FFT."""
+        common size are batched through one interpolate/extend FFT.
+
+        ops: optional backend (parallel.prove.ShardedOps) providing
+        interpolate/evaluate/commit for multi-device proving; None = the
+        single-chip fft/merkle modules. The produced roots/records are
+        bit-identical either way."""
         self.config = config
+        interpolate = ops.interpolate if ops else fft.interpolate
+        evaluate = ops.evaluate if ops else fft.evaluate
+        commit = ops.commit if ops else merkle.commit
         groups: Dict[int, List[int]] = {}
         for i, (log_size, _) in enumerate(columns):
             groups.setdefault(log_size, []).append(i)
@@ -69,10 +78,10 @@ class TreeProver:
                 mat = jnp.asarray(np.stack(vals).astype(np.uint32))
             else:
                 mat = jnp.stack([jnp.asarray(v, jnp.uint32) for v in vals])
-            coeffs = fft.interpolate(mat, log_size)
+            coeffs = interpolate(mat, log_size)
             pad = (1 << (log_size + config.log_blowup)) - (1 << log_size)
-            ext = fft.evaluate(jnp.pad(coeffs, ((0, 0), (0, pad))),
-                               log_size + config.log_blowup)
+            ext = evaluate(jnp.pad(coeffs, ((0, 0), (0, pad))),
+                           log_size + config.log_blowup)
             coeffs_all[log_size] = coeffs
             ext_all[log_size] = ext
         self.records: List[ColumnRecord] = []
@@ -85,7 +94,7 @@ class TreeProver:
         by_level: Dict[int, List[jnp.ndarray]] = {}
         for rec in self.records:
             by_level.setdefault(rec.log_size + config.log_blowup, []).append(rec.extended)
-        self.tree = merkle.commit(by_level)
+        self.tree = commit(by_level)
         channel.mix_root(self.tree.root)
 
     @property

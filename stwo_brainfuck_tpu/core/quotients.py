@@ -111,6 +111,7 @@ def accumulate_quotients(
     columns: Sequence[jnp.ndarray],
     claims: Sequence[Sequence[QuotientClaim]],
     alpha: tuple,
+    ops=None,
 ) -> jnp.ndarray:
     """Prover: combined quotient evaluation on the commitment domain
     2^log_size (QM31, (4, N)).
@@ -120,6 +121,8 @@ def accumulate_quotients(
         sum_k a^k (f_k - l_k)/V  =  (1/V) * (sum_k a^k f_k - A - B*p.y)
     with scalar A = sum a^k l0_k, B = sum a^k s_k — one batch inverse and one
     weighted column reduction per point instead of per claim."""
+    weighted = ops.weighted_columns if ops else _weighted_columns
+    point_group = ops.point_group_quotient if ops else _point_group_quotient
     xs, ys = domain_points_storage(log_size)
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
@@ -151,14 +154,14 @@ def accumulate_quotients(
             sel = idxs[start : start + _COL_CHUNK]
             cols = jnp.stack([columns[ci] for ci in sel])
             w = jnp.asarray(weights[start : start + _COL_CHUNK])
-            part = _weighted_columns(cols, w)
+            part = weighted(cols, w)
             wf = part if wf is None else qm31.add(wf, part)
 
         def dev(t):
             return jnp.asarray(np.array(t, np.uint32))
 
-        q = _point_group_quotient(wf, dev(a_const), dev(b_const),
-                                  dev(dy), dev(dx), dev(vc), px, py)
+        q = point_group(wf, dev(a_const), dev(b_const),
+                        dev(dy), dev(dx), dev(vc), px, py)
         acc = q if acc is None else qm31.add(acc, q)
     assert acc is not None
     return acc

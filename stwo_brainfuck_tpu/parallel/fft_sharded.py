@@ -67,9 +67,12 @@ def _local_twiddles(log_size: int, n_devices: int, inverse: bool):
     return out  # ordered stage L = local_log-1 .. 0
 
 
-def make_sharded_evaluate(mesh: Mesh, log_size: int):
+def make_sharded_evaluate(mesh: Mesh, log_size: int, batched: bool = False):
     """Returns a jitted fn: coefficients (natural order, sharded) ->
-    evaluation (bit-reversed storage, sharded)."""
+    evaluation (bit-reversed storage, sharded).
+
+    batched=True accepts (C, N) matrices (sharded along N — the batched form
+    used by the sharded TreeProver extends); False accepts (N,) vectors."""
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     n = log_size
     local_log = n - int(np.log2(D))
@@ -78,8 +81,8 @@ def make_sharded_evaluate(mesh: Mesh, log_size: int):
     cross_tw = jnp.asarray(_cross_twiddles(n, D, False))     # (n_cross, D)
     local_tws = [jnp.asarray(t) for t in _local_twiddles(n, D, False)]
 
-    spec = P(ROW_AXIS)
-    local_specs = [P(ROW_AXIS) if t.shape[0] >= D else P(None) for t in local_tws]
+    spec = P(None, ROW_AXIS) if batched else P(ROW_AXIS)
+    local_specs = [P(ROW_AXIS) for _ in local_tws]
 
     def step(v, cross_t, *loc_tw):
         me = jax.lax.axis_index(ROW_AXIS)
@@ -101,12 +104,13 @@ def make_sharded_evaluate(mesh: Mesh, log_size: int):
         for k, L in enumerate(range(local_log - 1, -1, -1)):
             tloc = loc_tw[k]
             blocks = tloc.shape[0]  # per-shard block count
-            vv = v.reshape(blocks, 2, 1 << L)
-            a = vv[:, 0, :]
-            b = vv[:, 1, :]
+            vv = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
+            a = vv[..., 0, :]
+            b = vv[..., 1, :]
             t = tloc.reshape(blocks, 1)
             tb = m31.mul(b, t)
-            v = jnp.stack([m31.add(a, tb), m31.sub(a, tb)], axis=1).reshape(-1)
+            v = jnp.stack([m31.add(a, tb), m31.sub(a, tb)], axis=-2)
+            v = v.reshape(v.shape[:-3] + (-1,))
         return v
 
     sharded = shard_map(
@@ -121,7 +125,7 @@ def make_sharded_evaluate(mesh: Mesh, log_size: int):
     return jax.jit(fn)
 
 
-def make_sharded_interpolate(mesh: Mesh, log_size: int):
+def make_sharded_interpolate(mesh: Mesh, log_size: int, batched: bool = False):
     """Inverse: evaluation (bit-reversed, sharded) -> coefficients (natural
     order, sharded). Local inverse stages first, then cross stages with
     ppermute exchanges, then the global 1/2^n scale."""
@@ -134,7 +138,7 @@ def make_sharded_interpolate(mesh: Mesh, log_size: int):
     local_itws = [jnp.asarray(t) for t in _local_twiddles(n, D, True)]
     scale = np.uint32(pow((P_INT + 1) // 2, n, P_INT))
 
-    spec = P(ROW_AXIS)
+    spec = P(None, ROW_AXIS) if batched else P(ROW_AXIS)
 
     def step(v, cross_t, *loc_tw):
         me = jax.lax.axis_index(ROW_AXIS)
@@ -142,13 +146,13 @@ def make_sharded_interpolate(mesh: Mesh, log_size: int):
         for k, L in enumerate(range(0, local_log)):
             tloc = loc_tw[local_log - 1 - k]  # loc_tw ordered local_log-1..0
             blocks = tloc.shape[0]
-            vv = v.reshape(blocks, 2, 1 << L)
-            a = vv[:, 0, :]
-            b = vv[:, 1, :]
+            vv = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
+            a = vv[..., 0, :]
+            b = vv[..., 1, :]
             it = tloc.reshape(blocks, 1)
             s = m31.add(a, b)
             d = m31.mul(m31.sub(a, b), it)
-            v = jnp.stack([s, d], axis=1).reshape(-1)
+            v = jnp.stack([s, d], axis=-2).reshape(vv.shape[:-3] + (-1,))
         # cross inverse stages: local_log up to n-1
         for k, L in enumerate(range(local_log, n)):
             dist = 1 << (L - local_log)

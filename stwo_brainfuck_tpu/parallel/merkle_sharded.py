@@ -26,6 +26,86 @@ from ..core import blake2s, merkle
 from .mesh import ROW_AXIS
 
 
+def commit_sharded(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> merkle.MerkleTree:
+    """Full sharded Merkle commit: like core/merkle.commit but the levels with
+    >= D nodes are hashed by a shard_map over contiguous node chunks (children
+    of a shard's nodes are local by construction), the D subtree roots are
+    all_gathered, and the tiny top levels finish replicated.
+
+    Returns the same MerkleTree structure as core/merkle.commit (layers +
+    column_matrix kept as device arrays — the big ones sharded), so
+    decommitment works unchanged. The root is bit-identical to the
+    single-device commit (shard-count invariance)."""
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    max_log = max(columns_by_log)
+    split_log = int(np.log2(D))
+    if max_log < split_log:
+        return merkle.commit(columns_by_log)
+
+    sharded_levels = list(range(max_log, split_log - 1, -1))
+    col_specs = {
+        k: [P(ROW_AXIS)] * len(columns_by_log.get(k, []))
+        for k in sharded_levels
+    }
+
+    def step(cols):
+        layers = {}
+        mats = {}
+        prev = None
+        for k in sharded_levels:
+            level_cols = cols.get(k, [])
+            n_local = (1 << k) // D
+            parts = []
+            if prev is not None:
+                parts.append(prev.reshape(n_local, 16))
+            for c in level_cols:
+                parts.append(c.reshape(n_local, 1))
+            msg = jnp.concatenate(parts, axis=1)
+            if level_cols:
+                mats[k] = msg[:, -len(level_cols):]
+            prev = blake2s.hash_words(msg)
+            layers[k] = prev
+        return layers, mats
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=({k: specs for k, specs in col_specs.items()},),
+        out_specs=(
+            {k: P(ROW_AXIS, None) for k in sharded_levels},
+            {k: P(ROW_AXIS, None) for k in sharded_levels
+             if columns_by_log.get(k)},
+        ),
+        check_vma=False,
+    )
+    dev_cols = {
+        k: [jnp.asarray(c, jnp.uint32) for c in columns_by_log.get(k, [])]
+        for k in sharded_levels
+    }
+    layers, col_matrix = jax.jit(fn)(dev_cols)
+    layers = dict(layers)
+    col_matrix = dict(col_matrix)
+
+    # finish the top levels (< D nodes) replicated, identical to merkle.commit
+    prev = layers[split_log]
+    for k in range(split_log - 1, -1, -1):
+        cols = columns_by_log.get(k, [])
+        parts = [prev.reshape(1 << k, 16)]
+        for c in cols:
+            parts.append(jnp.asarray(c, jnp.uint32).reshape(1 << k, 1))
+        msg = jnp.concatenate(parts, axis=1)
+        if cols:
+            col_matrix[k] = msg[:, -len(cols):]
+        prev = blake2s.hash_words(msg)
+        layers[k] = prev
+
+    root = blake2s.digest_to_bytes(np.asarray(layers[0][0]))
+    return merkle.MerkleTree(
+        root=root, layers=layers,
+        columns_by_log={k: list(v) for k, v in columns_by_log.items()},
+        column_matrix=col_matrix,
+    )
+
+
 def sharded_commit(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> bytes:
     """Compute the Merkle root with level-sharded hashing.
 

@@ -141,3 +141,21 @@ def test_sharded_merkle_root_matches_single_device(n_devices):
     mesh = make_mesh(n_devices)
     got = sharded_commit(mesh, cols)
     assert got == expected
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_full_sharded_prove_is_byte_identical(n_devices):
+    """VERDICT r1 #1 / SURVEY §7 step 10 acceptance: the COMPLETE prove
+    pipeline on an n-device mesh produces a proof byte-identical to the
+    single-chip proof (interaction, FFT extends, Merkle commits, composition,
+    quotients, and FRI folds all routed through parallel/prove.py)."""
+    import json
+
+    from stwo_brainfuck_tpu import air
+
+    m = create_test_machine(compile_program("+++>,<[>+.<-]"), b"\x01")
+    m.execute()
+    p_single = air.prove_brainfuck(m)
+    air.verify_brainfuck(p_single)
+    p_mesh = air.prove_brainfuck(m, mesh=make_mesh(n_devices))
+    assert json.dumps(p_mesh, sort_keys=True) == json.dumps(p_single, sort_keys=True)
