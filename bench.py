@@ -1,13 +1,20 @@
-"""Benchmark: end-to-end proof of fib19.bf (the BASELINE.md headline).
+"""Benchmark: end-to-end proofs of the reference's bundled programs.
 
 Runs on the default JAX platform (the real TPU chip under the driver; set
-STWO_BF_PLATFORM=cpu to force CPU). Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+STWO_BF_PLATFORM=cpu to force CPU). Prints ONE JSON line for the headline
+program (fib19.bf — the BASELINE.md workload), carrying the full bundled-
+program suite in the "suite" field.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md) and the Rust
-toolchain is absent from this image, so no measured Rust baseline exists;
-reported as the ratio against BASELINE_SECONDS if a baseline file
-(.bench_baseline.json with {"fib19_prove_s": ...}) is present, else 1.0.
+Baseline semantics: the reference publishes no numbers (BASELINE.md) and the
+Rust toolchain is absent from this image, so NO measured Rust baseline
+exists. "vs_baseline" is therefore SELF-relative: the ratio against this
+framework's own round-1 first build (.bench_baseline.json), duplicated as
+"vs_round1_self" and labeled by "baseline_kind" so it cannot be read as a
+reference comparison.
+
+Env:
+  BENCH_PROGRAM=fib19|collatz|...|m31   headline program (m31 = field bench)
+  BENCH_SUITE=0                         skip the per-program suite
 """
 
 import json
@@ -19,6 +26,58 @@ import time
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
                     stream=sys.stderr)
 
+SUITE = ["loop", "a-bc", "hello1", "hello2", "hello3", "hello4",
+         "hello_kakarot", "collatz", "fib19"]
+INPUTS = {"collatz": b"7\n", "a-bc": b"a"}
+
+
+def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
+    from stwo_brainfuck_tpu.components import tables as tables_mod
+    from stwo_brainfuck_tpu.vm.compiler import compile_program
+    from stwo_brainfuck_tpu.vm.machine import create_test_machine
+
+    path = f"/root/reference/brainfuck_programs/{program}.bf"
+    with open(path) as f:
+        code = compile_program(f.read())
+
+    t0 = time.time()
+    machine = create_test_machine(code, INPUTS.get(program, b""))
+    machine.execute()
+    trace_time = time.time() - t0
+    steps = len(machine.trace())
+
+    warm_s = 0.0
+    if do_warmup:
+        import numpy as np
+
+        tabs = tables_mod.all_tables(machine.trace(), machine.program())
+        claim = {name: int(np.log2(len(next(iter(cols.values())))))
+                 for name, cols in tabs.items()}
+        t0 = time.time()
+        warmup_mod.warmup(claim, PcsConfig(log_max_rows=0))
+        warm_s = time.time() - t0
+
+    t0 = time.time()
+    proof = air.prove_brainfuck(machine)
+    first = time.time() - t0
+    air.verify_brainfuck(proof)
+
+    t0 = time.time()
+    proof = air.prove_brainfuck(machine)
+    warm = time.time() - t0
+    total = trace_time + warm
+    return {
+        "steps": steps,
+        "trace_ms": round(trace_time * 1e3, 1),
+        "warmup_s": round(warm_s, 1),
+        "first_prove_s": round(first, 1),
+        "warm_prove_s": round(warm, 2),
+        "total_s": round(total, 3),
+        "khz": round(steps / total / 1e3, 2),
+        "proof_bytes": len(json.dumps(proof)),
+        "verified": True,
+    }
+
 
 def main() -> int:
     platform = os.environ.get("STWO_BF_PLATFORM")
@@ -27,9 +86,8 @@ def main() -> int:
 
         jax.config.update("jax_platforms", platform)
 
-    from stwo_brainfuck_tpu import air
-    from stwo_brainfuck_tpu.vm.compiler import compile_program
-    from stwo_brainfuck_tpu.vm.machine import create_test_machine
+    from stwo_brainfuck_tpu import air, warmup as warmup_mod
+    from stwo_brainfuck_tpu.core.pcs import PcsConfig
 
     program = os.environ.get("BENCH_PROGRAM", "fib19")
 
@@ -47,54 +105,50 @@ def main() -> int:
             "paths": {k: round(v / 1e9, 2) for k, v in r.items()},
         }))
         return 0
-    path = f"/root/reference/brainfuck_programs/{program}.bf"
-    inputs = {"collatz": b"7\n", "a-bc": b"a"}.get(program, b"")
 
-    with open(path) as f:
-        code = compile_program(f.read())
+    results = {}
+    head = run_program(program, air, warmup_mod, PcsConfig, do_warmup=True)
+    results[program] = head
+    print(f"# {program}: {head}", file=sys.stderr)
 
-    t0 = time.time()
-    machine = create_test_machine(code, inputs)
-    machine.execute()
-    trace_time = time.time() - t0
-    steps = len(machine.trace())
-    print(f"# {program}: {steps} steps, trace {trace_time*1e3:.1f} ms "
-          f"({steps/max(trace_time,1e-9)/1e6:.1f} MHz)", file=sys.stderr)
+    if os.environ.get("BENCH_SUITE", "1") != "0":
+        for p in SUITE:
+            if p == program or p in results:
+                continue
+            try:
+                results[p] = run_program(p, air, warmup_mod, PcsConfig,
+                                         do_warmup=False)
+            except Exception as exc:  # e.g. capacity refusal
+                results[p] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"# {p}: {results[p]}", file=sys.stderr)
+        results["sierpinski"] = {
+            "error": "ProvingError: exceeds the reference's 2^24 "
+                     "rows/component capacity (unprovable in both "
+                     "implementations)"}
 
-    # warm-up run (pays XLA compiles; persisted to the compilation cache)
-    t0 = time.time()
-    proof = air.prove_brainfuck(machine)
-    cold = time.time() - t0
-    print(f"# cold prove: {cold:.1f} s", file=sys.stderr)
-    air.verify_brainfuck(proof)
-    print("# proof verified", file=sys.stderr)
-
-    # measured run
-    t0 = time.time()
-    proof = air.prove_brainfuck(machine)
-    warm = time.time() - t0
-    total = trace_time + warm
-    khz = steps / total / 1e3
-    print(f"# warm prove: {warm:.2f} s  ({khz:.2f} kHz end-to-end)", file=sys.stderr)
-
-    vs_baseline = 1.0
+    vs_self = 1.0
     try:
         with open(os.path.join(os.path.dirname(__file__), ".bench_baseline.json")) as f:
             base = json.load(f).get(f"{program}_prove_s")
         if base:
-            vs_baseline = base / total
+            vs_self = base / head["total_s"]
     except FileNotFoundError:
         pass
 
     print(json.dumps({
         "metric": f"{program}.bf prove wall-clock (trace+proof, warm)",
-        "value": round(total, 3),
+        "value": head["total_s"],
         "unit": "s",
-        "vs_baseline": round(vs_baseline, 3),
-        "steps": steps,
-        "proof_khz": round(khz, 2),
-        "cold_prove_s": round(cold, 1),
-        "proof_bytes": len(json.dumps(proof)),
+        # SELF-relative (vs this framework's round-1 first build) — no Rust
+        # baseline can exist in this image; see module docstring.
+        "vs_baseline": round(vs_self, 3),
+        "baseline_kind": "round1_self",
+        "vs_round1_self": round(vs_self, 3),
+        "steps": head["steps"],
+        "proof_khz": head["khz"],
+        "cold_prove_s": round(head["warmup_s"] + head["first_prove_s"], 1),
+        "proof_bytes": head["proof_bytes"],
+        "suite": results,
     }))
     return 0
 

@@ -308,11 +308,8 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     log.info("OODS sampling")
     t_oods = channel.draw_felt()
     z = point_from_t(t_oods)
-    sampled: List[List[List[tuple]]] = []
-    for ti, (tree, metas) in enumerate(zip(trees, layout.trees)):
-        pts = [[shifted_point(z, meta.log_size, s) for s in meta.shifts] for meta in metas]
-        sampled.append(tree.sample_at_points(pts))
-        log.info("  sampled tree %d (%d columns)", ti, len(metas))
+    sampled = _sample_all_trees(trees, layout, z)
+    log.info("  sampled all trees")
     for tvals in sampled:
         for cvals in tvals:
             channel.mix_felts([tuple(v) for v in cvals])
@@ -339,7 +336,6 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
             size, [p[0] for p in pairs], [p[1] for p in pairs], alpha_q,
             ops=ops,
         )
-        fri_inputs[size].block_until_ready()
 
     log.info("FRI")
     fri_prover = fri.fri_commit(fri_inputs, channel, ops=ops)
@@ -374,6 +370,38 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
         "pow_nonce": nonce,
         "decommitments": [d.to_json() for d in decommitments],
     }
+
+
+def _sample_all_trees(trees, layout: SystemLayout, z) -> List[List[List[tuple]]]:
+    """OODS-sample every committed column of every tree at its mask points in
+    ONE batch: columns are grouped by (trace log, point) ACROSS trees, each
+    group is one device matvec, and all results come back in a single host
+    transfer (each separate pull costs a full TPU-relay round trip)."""
+    from .core import poly
+    from .utils.transfer import pull_all
+
+    groups: Dict[tuple, list] = {}
+    for ti, (tree, metas) in enumerate(zip(trees, layout.trees)):
+        for ci, (rec, meta) in enumerate(zip(tree.records, metas)):
+            for pi, s in enumerate(meta.shifts):
+                pt = shifted_point(z, meta.log_size, s)
+                key = (rec.log_size, (tuple(pt[0]), tuple(pt[1])))
+                groups.setdefault(key, []).append((ti, ci, pi, pt))
+
+    futs = []
+    for (log_size, _), members in groups.items():
+        mat = jnp.stack([trees[ti].records[ci].coeffs for ti, ci, _, _ in members])
+        basis = poly.secure_basis_at_point(log_size, members[0][3])
+        futs.append(poly._dot_basis(mat, basis))
+    host = pull_all(futs)
+
+    sampled: List[List[List[Optional[tuple]]]] = [
+        [[None] * len(meta.shifts) for meta in metas] for metas in layout.trees
+    ]
+    for members, arr in zip(groups.values(), host):
+        for (ti, ci, pi, _), c in zip(members, range(arr.shape[1])):
+            sampled[ti][ci][pi] = tuple(int(arr[k, c]) for k in range(4))
+    return sampled  # type: ignore[return-value]
 
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,36 @@ class _JumpComponent(Component):
     columns = ("clk", "ip", "ci", "ni", "mp", "mv", "mvi", "next_clk",
                "next_ip", "next_mp", "next_mv", "d", "is_mv_zero")
     opcode: int = 0
+    # Both jump components share one interaction executable (identical
+    # relation structure) and one union constraint executable (framework
+    # _interaction_fn / _union_constraints_fn).
+    interaction_key = "jump"
+    union_group = "jump"
+
+    def union_params(self):
+        return {"opcode": self.opcode}
+
+    def define_union_constraints(self, e: Evaluator, p) -> None:
+        """Union slots (both variants' constraints, per-member alpha weights
+        select): 0-4 common, 5 jnz jump, 6 jz jump, 7-8 frozen mp/mv,
+        9-10 LogUp. Reads only traced params — never subclass attrs."""
+        clk, ci, d, mv = e.col("clk"), e.col("ci"), e.col("d"), e.col("mv")
+        next_ip, ip, ni = e.col("next_ip"), e.col("ip"), e.col("ni")
+        is_mv_zero = e.col("is_mv_zero")
+        e.add(ci * (ci - p["opcode"]))
+        e.add(e.col("next_clk") - clk - 1)
+        e.add(d * (d - 1))
+        e.add(d * mv)
+        e.add(d * ci)
+        e.add((d - 1) * (is_mv_zero * (next_ip - ip - 2) + mv * (next_ip - ni)))
+        e.add((d - 1) * (mv * (next_ip - ip - 2) + is_mv_zero * (next_ip - (ni + 1))))
+        e.add(e.col("next_mp") - e.col("mp"))
+        e.add(e.col("next_mv") - e.col("mv"))
+        e.relation(
+            "processor", d - 1,
+            [clk, ip, ci, ni, e.col("mp"), mv, e.col("mvi")],
+        )
+        e.finalize_logup()
 
     def _common(self, e: Evaluator):
         clk, ci, d, mv = e.col("clk"), e.col("ci"), e.col("d"), e.col("mv")
@@ -152,6 +182,9 @@ class JumpIfNotZeroComponent(_JumpComponent):
     name = "jump_if_not_zero"
     opcode = int(InstructionType.JumpIfNotZero)
 
+    def union_layout(self):
+        return [0, 1, 2, 3, 4, 5, 7, 8, 9, 10]
+
     def define_constraints(self, e: Evaluator) -> None:
         self._common(e)
         d, mv = e.col("d"), e.col("mv")
@@ -167,6 +200,9 @@ class JumpIfZeroComponent(_JumpComponent):
 
     name = "jump_if_zero"
     opcode = int(InstructionType.JumpIfZero)
+
+    def union_layout(self):
+        return [0, 1, 2, 3, 4, 6, 7, 8, 9, 10]
 
     def define_constraints(self, e: Evaluator) -> None:
         self._common(e)
@@ -184,6 +220,38 @@ class _OpcodeComponent(Component):
     columns = ("clk", "ip", "ci", "ni", "mp", "mv", "mvi", "d",
                "next_ip", "next_mp", "next_mv")
     opcode: int = 0
+    # All six opcode components share one interaction executable and one
+    # union constraint executable; the per-opcode constants (opcode, the mv/mp
+    # increments) enter as traced scalars, never baked into the program.
+    interaction_key = "opcode"
+    union_group = "opcode"
+    dmv: int = 0   # next_mv - mv - dmv  (slot B; plus +1 / minus -1)
+    dmp: int = 0   # next_mp - mp - dmp  (slot C; right +1 / left -1)
+
+    def union_params(self):
+        return {"opcode": self.opcode, "dmv": self.dmv, "dmp": self.dmp}
+
+    def define_union_constraints(self, e: Evaluator, p) -> None:
+        """Union slots: 0-4 common, 5 next_mp=mp (A), 6 (1-d)(nmv-mv-dmv)
+        (B), 7 (1-d)(nmp-mp-dmp) (C), 8 next_mv=mv (D), 9-10 LogUp."""
+        ci, d, mv = e.col("ci"), e.col("d"), e.col("mv")
+        ip, next_ip = e.col("ip"), e.col("next_ip")
+        next_mp, mp = e.col("next_mp"), e.col("mp")
+        next_mv = e.col("next_mv")
+        e.add(ci * (ci - p["opcode"]))
+        e.add(d * (d - 1))
+        e.add(d * mv)
+        e.add(d * ci)
+        e.add((1 - d) * (next_ip - ip - 1))
+        e.add(next_mp - mp)                              # A
+        e.add((1 - d) * (next_mv - mv - p["dmv"]))       # B
+        e.add((1 - d) * (next_mp - mp - p["dmp"]))       # C
+        e.add(next_mv - mv)                              # D
+        e.relation(
+            "processor", d - 1,
+            [e.col("clk"), ip, ci, e.col("ni"), mp, mv, e.col("mvi")],
+        )
+        e.finalize_logup()
 
     def define_constraints(self, e: Evaluator) -> None:
         ci, d, mv = e.col("ci"), e.col("d"), e.col("mv")
@@ -207,6 +275,10 @@ class _OpcodeComponent(Component):
 class PlusComponent(_OpcodeComponent):
     name = "plus_instruction"
     opcode = int(InstructionType.Plus)
+    dmv = 1
+
+    def union_layout(self):
+        return [0, 1, 2, 3, 4, 5, 6, 9, 10]
 
     def extra(self, e):
         e.add(e.col("next_mp") - e.col("mp"))
@@ -216,6 +288,10 @@ class PlusComponent(_OpcodeComponent):
 class MinusComponent(_OpcodeComponent):
     name = "minus_instruction"
     opcode = int(InstructionType.Minus)
+    dmv = -1
+
+    def union_layout(self):
+        return [0, 1, 2, 3, 4, 5, 6, 9, 10]
 
     def extra(self, e):
         e.add(e.col("next_mp") - e.col("mp"))
@@ -225,6 +301,10 @@ class MinusComponent(_OpcodeComponent):
 class LeftComponent(_OpcodeComponent):
     name = "left_instruction"
     opcode = int(InstructionType.Left)
+    dmp = -1
+
+    def union_layout(self):
+        return [0, 1, 2, 3, 4, 7, 9, 10]
 
     def extra(self, e):
         e.add((1 - e.col("d")) * (e.col("next_mp") - e.col("mp") + 1))
@@ -233,6 +313,10 @@ class LeftComponent(_OpcodeComponent):
 class RightComponent(_OpcodeComponent):
     name = "right_instruction"
     opcode = int(InstructionType.Right)
+    dmp = 1
+
+    def union_layout(self):
+        return [0, 1, 2, 3, 4, 7, 9, 10]
 
     def extra(self, e):
         e.add((1 - e.col("d")) * (e.col("next_mp") - e.col("mp") - 1))
@@ -242,6 +326,9 @@ class InputComponent(_OpcodeComponent):
     name = "input_instruction"
     opcode = int(InstructionType.ReadChar)
 
+    def union_layout(self):
+        return [0, 1, 2, 3, 4, 5, 9, 10]
+
     def extra(self, e):
         e.add(e.col("next_mp") - e.col("mp"))
 
@@ -249,6 +336,9 @@ class InputComponent(_OpcodeComponent):
 class OutputComponent(_OpcodeComponent):
     name = "output_instruction"
     opcode = int(InstructionType.PutChar)
+
+    def union_layout(self):
+        return [0, 1, 2, 3, 4, 5, 8, 9, 10]
 
     def extra(self, e):
         e.add(e.col("next_mp") - e.col("mp"))

@@ -36,8 +36,19 @@ class InvalidEndOfExecution(TraceError):
     pass
 
 
-def _next_pow2_len(n: int) -> int:
-    return max(1 << MIN_LOG_SIZE, 1 << (max(1, n) - 1).bit_length())
+def _next_pow2_len(n: int, bucket: bool = False) -> int:
+    """Next power-of-two table height >= n (>= 2^MIN_LOG_SIZE).
+
+    bucket=True rounds the log up to an EVEN value ("shape bucketing"):
+    every component height then lands in {2^4, 2^6, ... 2^24}, collapsing the
+    set of distinct XLA executable shapes per proof — compile latency through
+    the TPU relay is the dominant cold-start cost. Padding rows are ordinary
+    dummy rows, so claims/constraints are unaffected (the claim simply
+    records the bucketed log)."""
+    log = max(MIN_LOG_SIZE, (max(1, n) - 1).bit_length())
+    if bucket and log % 2:
+        log += 1
+    return 1 << log
 
 
 def _pack(names: List[str], arrays: List[np.ndarray]) -> Columns:
@@ -48,7 +59,7 @@ def _pack(names: List[str], arrays: List[np.ndarray]) -> Columns:
 # Memory (reference: components/memory/table.rs)
 # ---------------------------------------------------------------------------
 
-def memory_table(trace: np.ndarray) -> Columns:
+def memory_table(trace: np.ndarray, bucket: bool = False) -> Columns:
     """Sort rows by (mp, clk), fill clk gaps with dummies, pad, then flatten
     consecutive entries into (cur, next) rows (table.rs:113-151, 244-318)."""
     clk, mp, mv = trace[:, 0], trace[:, 4], trace[:, 5]
@@ -79,7 +90,7 @@ def memory_table(trace: np.ndarray) -> Columns:
 
     # pad to power of two continuing the clk series (table.rs:291-303)
     n = len(clk_s)
-    target = _next_pow2_len(n)
+    target = _next_pow2_len(n, bucket)
     padn = target - n
     if padn:
         clk_s = np.concatenate([clk_s, clk_s[-1] + 1 + np.arange(padn)])
@@ -109,7 +120,7 @@ def _program_rows(program: List[int]) -> Tuple[np.ndarray, np.ndarray, np.ndarra
     return ip, code, ni
 
 
-def instruction_table(trace: np.ndarray, program: List[int]) -> Columns:
+def instruction_table(trace: np.ndarray, program: List[int], bucket: bool = False) -> Columns:
     """concat(program listing, exec trace) sorted by (ip, clk) — program rows
     first on ties (stable sort, clk=0) — padded, then paired
     (table.rs:251-282, 116-143)."""
@@ -129,7 +140,7 @@ def instruction_table(trace: np.ndarray, program: List[int]) -> Columns:
     d = np.zeros(len(ip), np.int64)
 
     n = len(ip)
-    target = _next_pow2_len(n)
+    target = _next_pow2_len(n, bucket)
     padn = target - n
     if padn:
         ip = np.concatenate([ip, np.full(padn, ip[-1])])
@@ -151,10 +162,10 @@ def instruction_table(trace: np.ndarray, program: List[int]) -> Columns:
 # Program (reference: components/program/table.rs:111-141, 55-70)
 # ---------------------------------------------------------------------------
 
-def program_table(program: List[int]) -> Columns:
+def program_table(program: List[int], bucket: bool = False) -> Columns:
     ip, ci, ni = _program_rows(program)
     d = np.zeros(len(ip), np.int64)
-    target = _next_pow2_len(len(ip))
+    target = _next_pow2_len(len(ip), bucket)
     padn = target - len(ip)
     if padn:
         ip = np.concatenate([ip, np.full(padn, ip[-1])])
@@ -168,11 +179,11 @@ def program_table(program: List[int]) -> Columns:
 # Processor (reference: components/processor/table.rs:109-145, 209-222)
 # ---------------------------------------------------------------------------
 
-def processor_table(trace: np.ndarray) -> Columns:
+def processor_table(trace: np.ndarray, bucket: bool = False) -> Columns:
     cols = [trace[:, i].astype(np.int64) for i in range(7)]
     clk, ip, ci, ni, mp, mv, mvi = cols
     d = np.zeros(len(clk), np.int64)
-    target = _next_pow2_len(len(clk))
+    target = _next_pow2_len(len(clk), bucket)
     padn = target - len(clk)
     if padn:
         clk = np.concatenate([clk, clk[-1] + 1 + np.arange(padn)])
@@ -207,14 +218,16 @@ def _opcode_entries(trace: np.ndarray, opcode: int) -> List[np.ndarray]:
     return ent
 
 
-def _pad_entries(ent: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def _pad_entries(ent: np.ndarray, bucket: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Pad interleaved entries to a power of two with dummies
-    clk = last_clk + i (i = 0..), ip = last_ip, other registers 0, d = 1."""
+    clk = last_clk + i (i = 0..), ip = last_ip, other registers 0, d = 1.
+    The FINAL table has target/2 rows, so bucketing rounds the interleaved
+    length to an odd log (= even row log)."""
     n = len(ent)
     d = np.zeros(n, np.int64)
     last_clk = ent[-1, 0] if n else 0
     last_ip = ent[-1, 1] if n else 0
-    target = max(2 * (1 << MIN_LOG_SIZE), 1 << (max(1, n) - 1).bit_length())
+    target = 2 * _next_pow2_len(max(1, n) // 2 + (n % 2), bucket)
     padn = target - n
     if padn:
         pad = np.zeros((padn, 7), np.int64)
@@ -225,9 +238,9 @@ def _pad_entries(ent: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return ent, d
 
 
-def opcode_table(trace: np.ndarray, opcode: int) -> Columns:
+def opcode_table(trace: np.ndarray, opcode: int, bucket: bool = False) -> Columns:
     """11-column table for + - < > , . (ProcessorInstructionTable<N>)."""
-    ent, d = _pad_entries(_opcode_entries(trace, opcode))
+    ent, d = _pad_entries(_opcode_entries(trace, opcode), bucket)
     e1, e2 = ent[0::2], ent[1::2]
     d1 = d[0::2]
     return _pack(
@@ -237,10 +250,10 @@ def opcode_table(trace: np.ndarray, opcode: int) -> Columns:
     )
 
 
-def jump_table(trace: np.ndarray, opcode: int) -> Columns:
+def jump_table(trace: np.ndarray, opcode: int, bucket: bool = False) -> Columns:
     """13-column table for [ and ] (JumpTable<N>), including
     is_mv_zero = 1 - mv*mvi (jump/table.rs:206)."""
-    ent, d = _pad_entries(_opcode_entries(trace, opcode))
+    ent, d = _pad_entries(_opcode_entries(trace, opcode), bucket)
     e1, e2 = ent[0::2], ent[1::2]
     d1 = d[0::2]
     mv, mvi = e1[:, 5].astype(np.uint64), e1[:, 6].astype(np.uint64)
@@ -283,17 +296,21 @@ OPCODES = {
 }
 
 
-def all_tables(trace: np.ndarray, program: List[int]) -> Dict[str, Columns]:
-    """Build every component table (order: brainfuck_air/mod.rs:511-547)."""
+def all_tables(trace: np.ndarray, program: List[int],
+               bucket: bool = True) -> Dict[str, Columns]:
+    """Build every component table (order: brainfuck_air/mod.rs:511-547).
+
+    bucket defaults to True for the proving path (even-log heights — see
+    _next_pow2_len); pass False for reference-exact minimal padding."""
     tables = {
-        "memory": memory_table(trace),
-        "instruction": instruction_table(trace, program),
-        "program": program_table(program),
-        "processor": processor_table(trace),
-        "jump_if_not_zero": jump_table(trace, int(InstructionType.JumpIfNotZero)),
-        "jump_if_zero": jump_table(trace, int(InstructionType.JumpIfZero)),
+        "memory": memory_table(trace, bucket),
+        "instruction": instruction_table(trace, program, bucket),
+        "program": program_table(program, bucket),
+        "processor": processor_table(trace, bucket),
+        "jump_if_not_zero": jump_table(trace, int(InstructionType.JumpIfNotZero), bucket),
+        "jump_if_zero": jump_table(trace, int(InstructionType.JumpIfZero), bucket),
     }
     for name, op in OPCODES.items():
-        tables[f"{name}_instruction"] = opcode_table(trace, int(op))
+        tables[f"{name}_instruction"] = opcode_table(trace, int(op), bucket)
     tables["end_of_execution"] = end_of_execution_table(trace)
     return tables

@@ -123,8 +123,7 @@ def interpolate(values: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray
     return _interpolate_jit(values, _device_twiddles(n)[1], n)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _interpolate_jit(values: jnp.ndarray, inv_tw, n: int) -> jnp.ndarray:
+def _interpolate_body(values: jnp.ndarray, inv_tw, n: int) -> jnp.ndarray:
     v = values
     for L in range(n):
         blocks = 1 << (n - 1 - L)
@@ -140,6 +139,9 @@ def _interpolate_jit(values: jnp.ndarray, inv_tw, n: int) -> jnp.ndarray:
     return m31.mul(v, scale)
 
 
+_interpolate_jit = partial(jax.jit, static_argnames=("n",))(_interpolate_body)
+
+
 def evaluate(coeffs: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
     """Coefficients (natural order, length 2^m, zero-padded by the caller for
     blowup) -> circle evaluation on the canonic domain of size 2^n in
@@ -148,8 +150,7 @@ def evaluate(coeffs: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
     return _evaluate_jit(coeffs, _device_twiddles(n)[0], n)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _evaluate_jit(coeffs: jnp.ndarray, fwd_tw, n: int) -> jnp.ndarray:
+def _evaluate_body(coeffs: jnp.ndarray, fwd_tw, n: int) -> jnp.ndarray:
     v = coeffs
     for L in reversed(range(n)):
         blocks = 1 << (n - 1 - L)
@@ -162,6 +163,27 @@ def _evaluate_jit(coeffs: jnp.ndarray, fwd_tw, n: int) -> jnp.ndarray:
         u1 = m31.sub(a, tb)
         v = jnp.stack([u0, u1], axis=-2).reshape(v.shape[:-3] + (1 << n,))
     return v
+
+
+_evaluate_jit = partial(jax.jit, static_argnames=("n",))(_evaluate_body)
+
+
+@partial(jax.jit, static_argnames=("n", "blow"))
+def _extend_jit(values, inv_tw, fwd_tw_big, n: int, blow: int):
+    """Fused interpolate -> zero-pad -> evaluate on the blown-up domain:
+    one executable per (batch, size) instead of three plus eager pad glue
+    (each eager op is a compile + a relay round trip cold)."""
+    coeffs = _interpolate_body(values, inv_tw, n)
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, (1 << (n + blow)) - (1 << n))]
+    ext = _evaluate_body(jnp.pad(coeffs, pad), fwd_tw_big, n + blow)
+    return coeffs, ext
+
+
+def extend_with_coeffs(values: jnp.ndarray, log_size: int, log_blowup: int):
+    """(coefficients, blown-up evaluation) of a batch of columns, fused."""
+    return _extend_jit(values, _device_twiddles(log_size)[1],
+                       _device_twiddles(log_size + log_blowup)[0],
+                       log_size, log_blowup)
 
 
 @lru_cache(maxsize=64)

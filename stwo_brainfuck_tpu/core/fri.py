@@ -76,7 +76,7 @@ def _commit_layer(values: jnp.ndarray) -> merkle.MerkleTree:
     """Merkle-commit a QM31 line layer as its 4 M31 coordinate columns."""
     n = values.shape[1]
     log = n.bit_length() - 1
-    return merkle.commit({log: [values[k] for k in range(4)]})
+    return merkle.commit({log: values})
 
 
 @dataclass
@@ -207,7 +207,8 @@ def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
         positions = sorted({((q >> (prover.max_log - m)) & ~3) + j
                             for q in queries for j in range(4)})
         dec = merkle.decommit_async(tree, positions)
-        val_futs.append(jnp.take(evals, jnp.asarray(np.array(positions, np.int32)), axis=1))
+        idx, _n = merkle._padded_idx(positions)  # pow2 gather shapes
+        val_futs.append(jnp.take(evals, idx, axis=1))
         pending.append((positions, dec))
     # one host transfer for all layers' decommitments and values
     decs = merkle.finalize_many([d for _, d in pending])

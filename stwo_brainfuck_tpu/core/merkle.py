@@ -18,15 +18,31 @@ over all nodes (core/blake2s.py). Decommitment/verification run on host.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Sequence
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import blake2s
 
 
 ColumnsByLog = Dict[int, List[jnp.ndarray]]
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def _cascade_jit(nodes: jnp.ndarray, n_levels: int):
+    """Hash n_levels PLAIN tree levels (no column injections) in one
+    executable: nodes (2N, 8) -> tuple of parent layers ((N,8), (N/2,8), ...).
+    One XLA program per (size, n_levels) instead of one hash executable per
+    level — executable count is the dominant cold-compile cost and each
+    eager dispatch is a TPU-relay round trip."""
+    outs = []
+    for _ in range(n_levels):
+        nodes = blake2s.hash_words(nodes.reshape(nodes.shape[0] // 2, 16))
+        outs.append(nodes)
+    return tuple(outs)
 
 
 @dataclass
@@ -46,31 +62,66 @@ class MerkleTree:
         return max(self.layers)
 
 
+@jax.jit
+def _hash_level_jit(prev: jnp.ndarray, mat: jnp.ndarray):
+    """One injection level: children digests (2n, 8) + column matrix (C, n)
+    -> (digests (n, 8), column values (n, C)). The message assembly lives
+    inside the executable (no eager reshape/concat glue)."""
+    n = mat.shape[1]
+    msg = jnp.concatenate([prev.reshape(n, 16), mat.T], axis=1)
+    return blake2s.hash_words(msg), msg[:, 16:]
+
+
+@jax.jit
+def _hash_leaf_jit(mat: jnp.ndarray):
+    msg = mat.T
+    return blake2s.hash_words(msg), msg
+
+
 def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
-    """Build the tree on device; only the 32-byte root leaves the device."""
+    """Build the tree on device; only the 32-byte root leaves the device.
+
+    columns_by_log values may be a list of (2^level,) columns or one
+    (C, 2^level) matrix (preferred — avoids per-column slicing executables).
+    Runs of column-free levels are fused into one _cascade_jit executable."""
     assert columns_by_log, "empty commitment"
-    max_log = max(columns_by_log)
+    mats: Dict[int, jnp.ndarray] = {}
+    for k, v in columns_by_log.items():
+        if isinstance(v, (list, tuple)):
+            mat = jnp.stack([jnp.asarray(c, jnp.uint32) for c in v])
+        else:
+            mat = jnp.asarray(v, jnp.uint32)
+        assert mat.shape[1] == 1 << k, (mat.shape, k)
+        mats[k] = mat
+    max_log = max(mats)
     layers: Dict[int, jnp.ndarray] = {}
     col_matrix: Dict[int, jnp.ndarray] = {}
     prev: jnp.ndarray | None = None  # (2^(k+1), 8)
 
-    for k in range(max_log, -1, -1):
-        cols = columns_by_log.get(k, [])
-        parts: List[jnp.ndarray] = []
-        if prev is not None:
-            parts.append(prev.reshape(1 << k, 16))
-        for c in cols:
-            assert c.shape == (1 << k,), (c.shape, k)
-            parts.append(jnp.asarray(c, jnp.uint32).reshape(1 << k, 1))
-        msg = jnp.concatenate(parts, axis=1)
-        if cols:
-            col_matrix[k] = msg[:, -len(cols):]
-        prev = blake2s.hash_words(msg)
+    k = max_log
+    while k >= 0:
+        mat = mats.get(k)
+        if mat is None and prev is not None:
+            # fuse the whole run of plain levels down to the next injection
+            k_end = k
+            while k_end > 0 and mats.get(k_end - 1) is None:
+                k_end -= 1
+            run = k - k_end + 1
+            for i, layer in enumerate(_cascade_jit(prev, run)):
+                layers[k - i] = layer
+            prev = layers[k_end]
+            k = k_end - 1
+            continue
+        if prev is None:
+            prev, col_matrix[k] = _hash_leaf_jit(mat)
+        else:
+            prev, col_matrix[k] = _hash_level_jit(prev, mat)
         layers[k] = prev
+        k -= 1
 
     root = blake2s.digest_to_bytes(np.asarray(layers[0][0]))
     return MerkleTree(root=root, layers=layers,
-                      columns_by_log={k: list(v) for k, v in columns_by_log.items()},
+                      columns_by_log=dict(columns_by_log),
                       column_matrix=col_matrix)
 
 
@@ -120,24 +171,27 @@ def _needed_positions(queries, max_log: int) -> Dict[int, List[int]]:
 class PendingDecommitment:
     """Device-side gathers issued, not yet pulled. finalize_many materializes
     any number of pending decommitments with ONE host transfer (each separate
-    pull costs a full TPU-relay round trip)."""
+    pull costs a full TPU-relay round trip). Gather index arrays are padded
+    to powers of two (entries carry the real count) so the executable shapes
+    are shared across levels/proofs instead of one compile per position
+    count."""
 
     def __init__(self, pending_cols, pending_wit):
-        self._cols = pending_cols
+        self._cols = pending_cols          # (level, n_real, future)
         self._wit = sorted(pending_wit, key=lambda kv: -kv[0])
 
     def futures(self):
-        return [f for _, f in self._cols] + [f for _, f in self._wit]
+        return [f for _, _, f in self._cols] + [f for _, _, f in self._wit]
 
     def build(self, host_arrays) -> MerkleDecommitment:
         out = MerkleDecommitment()
         i = 0
-        for k, _ in self._cols:
-            gathered = host_arrays[i].T  # (n_cols, n_positions)
+        for k, n, _ in self._cols:
+            gathered = host_arrays[i][:n].T  # (n_cols, n_positions)
             out.column_values[k] = [[int(v) for v in row] for row in gathered]
             i += 1
-        for _k, _ in self._wit:
-            for h in host_arrays[i]:
+        for _k, n, _ in self._wit:
+            for h in host_arrays[i][:n]:
                 out.witness_hashes.append(blake2s.digest_to_bytes(h))
             i += 1
         return out
@@ -164,6 +218,15 @@ def finalize_many(pendings: Sequence["PendingDecommitment"]) -> List[MerkleDecom
     return out
 
 
+def _padded_idx(positions) -> Tuple[jnp.ndarray, int]:
+    """Index array padded to the next power of two (gather shapes shared)."""
+    n = len(positions)
+    target = 1 << max(0, n - 1).bit_length()
+    arr = np.zeros(target, np.int32)
+    arr[:n] = positions
+    return jnp.asarray(arr), n
+
+
 def decommit_async(tree: MerkleTree, queries) -> PendingDecommitment:
     """Issue the decommitment gathers without materializing."""
     max_log = tree.max_log
@@ -171,10 +234,9 @@ def decommit_async(tree: MerkleTree, queries) -> PendingDecommitment:
     pending_cols: List[tuple] = []
     pending_wit: List[tuple] = []
     for k in range(max_log, -1, -1):
-        cols = tree.columns_by_log.get(k, [])
-        if cols:
-            idx = jnp.asarray(np.array(needed[k], np.int32))
-            pending_cols.append((k, jnp.take(tree.column_matrix[k], idx, axis=0)))
+        if k in tree.column_matrix:
+            idx, n = _padded_idx(needed[k])
+            pending_cols.append((k, n, jnp.take(tree.column_matrix[k], idx, axis=0)))
         if k < max_log:
             # children of needed[k] at level k+1; provide siblings not needed
             child_needed = set(needed[k + 1])
@@ -185,10 +247,8 @@ def decommit_async(tree: MerkleTree, queries) -> PendingDecommitment:
                 if child not in child_needed
             ]
             if witness_pos:
-                pending_wit.append((k, jnp.take(
-                    tree.layers[k + 1],
-                    jnp.asarray(np.array(witness_pos, np.int32)), axis=0,
-                )))
+                idx, n = _padded_idx(witness_pos)
+                pending_wit.append((k, n, jnp.take(tree.layers[k + 1], idx, axis=0)))
     return PendingDecommitment(pending_cols, pending_wit)
 
 

@@ -63,8 +63,6 @@ class TreeProver:
         single-chip fft/merkle modules. The produced roots/records are
         bit-identical either way."""
         self.config = config
-        interpolate = ops.interpolate if ops else fft.interpolate
-        evaluate = ops.evaluate if ops else fft.evaluate
         commit = ops.commit if ops else merkle.commit
         groups: Dict[int, List[int]] = {}
         for i, (log_size, _) in enumerate(columns):
@@ -78,10 +76,15 @@ class TreeProver:
                 mat = jnp.asarray(np.stack(vals).astype(np.uint32))
             else:
                 mat = jnp.stack([jnp.asarray(v, jnp.uint32) for v in vals])
-            coeffs = interpolate(mat, log_size)
-            pad = (1 << (log_size + config.log_blowup)) - (1 << log_size)
-            ext = evaluate(jnp.pad(coeffs, ((0, 0), (0, pad))),
-                           log_size + config.log_blowup)
+            if ops is None:
+                # fused interpolate+pad+evaluate: one executable per group
+                coeffs, ext = fft.extend_with_coeffs(
+                    mat, log_size, config.log_blowup)
+            else:
+                coeffs = ops.interpolate(mat, log_size)
+                pad = (1 << (log_size + config.log_blowup)) - (1 << log_size)
+                ext = ops.evaluate(jnp.pad(coeffs, ((0, 0), (0, pad))),
+                                   log_size + config.log_blowup)
             coeffs_all[log_size] = coeffs
             ext_all[log_size] = ext
         self.records: List[ColumnRecord] = []
@@ -91,9 +94,8 @@ class TreeProver:
             pos[log_size] = j + 1
             self.records.append(ColumnRecord(
                 log_size, coeffs_all[log_size][j], ext_all[log_size][j]))
-        by_level: Dict[int, List[jnp.ndarray]] = {}
-        for rec in self.records:
-            by_level.setdefault(rec.log_size + config.log_blowup, []).append(rec.extended)
+        # one (C, N) matrix per level — the whole size group, in record order
+        by_level = {lg + config.log_blowup: ext_all[lg] for lg in groups}
         self.tree = commit(by_level)
         channel.mix_root(self.tree.root)
 

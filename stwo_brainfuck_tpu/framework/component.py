@@ -334,11 +334,28 @@ def _device_combine(els_dev, values: List[jnp.ndarray]) -> jnp.ndarray:
     return qm31.sub(acc, z)
 
 
-@lru_cache(maxsize=128)  # bounded: a long-lived proving service must not
-def _interaction_fn(cls, log_size: int):  # accumulate executables forever
-    """Jitted interaction-trace builder for one component class/size. The
-    linear-order permutation is a traced argument (constants of this size
-    trigger slow XLA constant folding)."""
+_INTERACTION_CACHE: dict = {}  # bounded by (interaction structure, size) pairs
+
+
+def _interaction_fn(cls, log_size: int):
+    """Jitted interaction-trace builder, cached per (interaction_key, size):
+    components whose relation structure is identical (the 6 opcode components;
+    the 2 jump components) share ONE compiled executable — the relation only
+    reads columns, never the per-opcode constants, so the traced program is
+    the same. Cuts the per-proof executable count (compile latency is the
+    dominant cold cost through the TPU relay)."""
+    key = (getattr(cls, "interaction_key", cls), log_size)
+    cached = _INTERACTION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    fn = _build_interaction_fn(cls, log_size)
+    _INTERACTION_CACHE[key] = fn
+    return fn
+
+
+def _build_interaction_fn(cls, log_size: int):
+    """The linear-order permutation is a traced argument (constants of this
+    size trigger slow XLA constant folding)."""
     comp = cls(log_size)
 
     @jax.jit
@@ -402,6 +419,57 @@ def build_interaction_trace(
     Returns ([(4, N) QM31 arrays: Q_0..Q_{K-1}, S], claimed_sum host tuple)."""
     cols, claimed = build_interaction_trace_async(component, main_cols, elements)
     return cols, tuple(int(v) for v in np.asarray(claimed))
+
+
+_UNION_CACHE: dict = {}
+
+
+def _union_constraints_fn(cls, log_size: int):
+    """One executable for a whole UNION GROUP of components (the 6 opcode
+    components / the 2 jump components): the union of every member's
+    constraints is evaluated once, per-member constants enter as traced
+    scalars, and the member's alpha-power weights zero the slots it does not
+    use. Numerically identical to the per-member executable (a zero-weighted
+    slot contributes nothing), but one compile instead of six."""
+    key = (cls.union_group, log_size)
+    cached = _UNION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    comp = cls(log_size)  # representative: define_union_constraints lives on
+    # the shared base class and reads only traced params, never subclass attrs
+
+    @jax.jit
+    def fn(main_cols, interaction_cols, s_prev, is_first, claimed_sum,
+           elements_dev, slot_weights, v_inv, params):
+        claimed = jnp.reshape(claimed_sum, (4, 1))
+        ev = Evaluator(comp, main_cols, interaction_cols, s_prev, is_first,
+                       claimed, elements_dev, host=False)
+        p_expr = {k: Expr(v, False, qm=False) for k, v in params.items()}
+        comp.define_union_constraints(ev, p_expr)
+        acc = None
+        for i, c in enumerate(ev.constraints):
+            aw = jnp.reshape(slot_weights[i], (4, 1))
+            if c.qm:
+                term = qm31.mul(aw, c.v)
+            else:
+                term = m31.mul(aw, c.v[None])
+            acc = term if acc is None else qm31.add(acc, term)
+        return qm31.mul_m31(acc, v_inv)
+
+    n_slots = len(_union_dry_run(cls, log_size))
+    _UNION_CACHE[key] = (fn, n_slots)
+    return fn, n_slots
+
+
+def _union_dry_run(cls, log_size: int):
+    comp = cls(log_size)
+    n_rel = comp.relation_count()
+    inter = [qm31.ZERO] * (n_rel + 1)
+    e = Evaluator(comp, {c: qm31.ZERO for c in comp.columns}, inter,
+                  qm31.ZERO, qm31.ZERO, qm31.ZERO, _dummy_elements(), host=True)
+    comp.define_union_constraints(
+        e, {k: Expr((0, 0, 0, 0), True) for k in comp.union_params()})
+    return e.constraints
 
 
 @lru_cache(maxsize=128)
@@ -471,16 +539,30 @@ def composition_contribution(
     v_inv: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, int]:
     """Sum_i alpha^(offset+i) * C_i / V over the evaluation domain (fused,
-    jitted per component class/size/shape). Returns (QM31 array, next
+    jitted per component class/size/shape — or per UNION GROUP/size for
+    components declaring union_group). Returns (QM31 array, next
     alpha offset)."""
-    fn, n_cons = _constraints_fn(type(component), component.log_size)
+    cls = type(component)
+    els_dev = {k: e.device() for k, e in elements.items()}
+    claimed_dev = jnp.asarray(np.array(claimed_sum, np.uint32))
+    if getattr(cls, "union_group", None):
+        fn, n_slots = _union_constraints_fn(cls, component.log_size)
+        n_cons = component.constraint_count()
+        weights = np.zeros((n_slots, 4), np.uint32)
+        for local, slot in enumerate(component.union_layout()):
+            weights[slot] = qm31.h_pow(alpha, alpha_offset + local)
+        params = {k: jnp.uint32(v % P_INT)
+                  for k, v in component.union_params().items()}
+        out = fn(main_cols, interaction_cols, s_prev, is_first, claimed_dev,
+                 els_dev, jnp.asarray(weights), v_inv, params)
+        return out, alpha_offset + n_cons
+    fn, n_cons = _constraints_fn(cls, component.log_size)
     powers = np.empty((n_cons, 4), np.uint32)
     for i in range(n_cons):
         powers[i] = qm31.h_pow(alpha, alpha_offset + i)
-    els_dev = {k: e.device() for k, e in elements.items()}
     out = fn(
         main_cols, interaction_cols, s_prev, is_first,
-        jnp.asarray(np.array(claimed_sum, np.uint32)), els_dev,
+        claimed_dev, els_dev,
         jnp.asarray(powers), v_inv,
     )
     return out, alpha_offset + n_cons

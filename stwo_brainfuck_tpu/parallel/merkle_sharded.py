@@ -37,6 +37,13 @@ def commit_sharded(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> 
     decommitment works unchanged. The root is bit-identical to the
     single-device commit (shard-count invariance)."""
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    # normalize (C, N) matrices to column lists (the single-chip commit's
+    # preferred form is a matrix; the shard_map specs here want per-column)
+    columns_by_log = {
+        k: ([v[i] for i in range(v.shape[0])] if hasattr(v, "ndim") and v.ndim == 2
+            else list(v))
+        for k, v in columns_by_log.items()
+    }
     max_log = max(columns_by_log)
     split_log = int(np.log2(D))
     if max_log < split_log:
