@@ -114,10 +114,30 @@ def _device_twiddles(n: int):
     return _DEV_TW_CACHE[n]
 
 
+def _use_pallas(log_size: int) -> bool:
+    """Route transforms through the fused Pallas kernels
+    (ops/fft_pallas.py). STWO_BF_PALLAS_FFT: 1 = on where supported,
+    0 = never, auto (default) = on-TPU where supported."""
+    import os
+
+    mode = os.environ.get("STWO_BF_PALLAS_FFT", "auto")
+    if mode == "0":
+        return False
+    from ..ops import fft_pallas
+
+    if mode == "1":
+        return fft_pallas._supported(log_size)
+    return fft_pallas.available(log_size)
+
+
 def interpolate(values: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
     """Circle evaluation (bit-reversed order, length 2^n) -> coefficients
     (natural order). Inverse of evaluate() on the same-size domain."""
     n = int(values.shape[-1]).bit_length() - 1 if log_size is None else log_size
+    if _use_pallas(n):
+        from ..ops import fft_pallas
+
+        return fft_pallas.interpolate(values, n)
     # Twiddles are passed as traced arguments: baking them in as constants
     # makes XLA constant-fold multi-MB arrays at compile time.
     return _interpolate_jit(values, _device_twiddles(n)[1], n)
@@ -147,6 +167,10 @@ def evaluate(coeffs: jnp.ndarray, log_size: int | None = None) -> jnp.ndarray:
     blowup) -> circle evaluation on the canonic domain of size 2^n in
     bit-reversed order. n defaults to len(coeffs)."""
     n = int(coeffs.shape[-1]).bit_length() - 1 if log_size is None else log_size
+    if _use_pallas(n):
+        from ..ops import fft_pallas
+
+        return fft_pallas.evaluate(coeffs, n)
     return _evaluate_jit(coeffs, _device_twiddles(n)[0], n)
 
 
@@ -181,6 +205,14 @@ def _extend_jit(values, inv_tw, fwd_tw_big, n: int, blow: int):
 
 def extend_with_coeffs(values: jnp.ndarray, log_size: int, log_blowup: int):
     """(coefficients, blown-up evaluation) of a batch of columns, fused."""
+    if _use_pallas(log_size) and _use_pallas(log_size + log_blowup):
+        from ..ops import fft_pallas
+
+        coeffs = fft_pallas.interpolate(values, log_size)
+        pad = [(0, 0)] * (coeffs.ndim - 1) + [
+            (0, (1 << (log_size + log_blowup)) - (1 << log_size))]
+        return coeffs, fft_pallas.evaluate(jnp.pad(coeffs, pad),
+                                           log_size + log_blowup)
     return _extend_jit(values, _device_twiddles(log_size)[1],
                        _device_twiddles(log_size + log_blowup)[0],
                        log_size, log_blowup)

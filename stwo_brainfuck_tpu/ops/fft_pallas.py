@@ -1,28 +1,29 @@
-"""Fused multi-stage circle-FFT Pallas kernels (docs/FFT_FUSION_PLAN.md).
+"""Fused circle-FFT Pallas kernels (docs/FFT_FUSION_PLAN.md) — hybrid form.
 
 The staged XLA path (core/fft.py) materializes the array between every
-butterfly stage: ~n HBM round trips for a size-2^n transform. These kernels
-run ALL stages of one transform inside VMEM — one HBM read and one write.
+butterfly stage: ~n HBM round trips for a size-2^n transform. The hybrid
+here fuses ALL high stages (L >= 7, i.e. n-7 of the n stages) into one
+VMEM-resident Pallas kernel; the 7 low stages (lane-dim strides, which
+Mosaic would relayout heavily) stay on a single fused XLA executable.
+HBM round trips: 2 (kernel) + 7 (XLA lo) instead of n.
 
-Layout algebra (storage is bit-reversed; stage L pairs stride 2^L):
-the flat array is viewed as an (A, 128) matrix, j = a*128 + b.
+High-stage butterflies on the (A, 128) view (j = a*128 + b, storage is
+bit-reversed; stage L pairs rows at stride s = 2^(L-7), same lane; the
+twiddle j >> (L+1) depends only on the row's block):
 
-- HIGH stages (L >= 7): pairs are rows at row-stride 2^(L-7), same lane.
-  The stage twiddle index j >> (L+1) depends only on the row, so twiddles
-  pre-broadcast to per-row vectors THI[k, a] = tw[L_k][a >> (L_k - 6)]
-  (host-side, cached per size).
-- LOW stages (L < 7): pairs sit within a row at lane-stride 2^L. ONE VMEM
-  transpose to (128, A) turns them into row-stride butterflies; the twiddle
-  t = j >> (L+1) = a*2^(6-L) + (b >> (L+1)) becomes the transposed matrix
-  TLO_L[g, a] = tw[L][a*2^(6-L) + g], packed (127, A) over all 7 stages.
+    tb    = x * t             (t = per-row pair twiddle, an (A, 1) slice)
+    lower = x + roll(tb, -s)  (a + t*b)
+    upper = roll(x, s) - tb   (a - t*b)
+    x     = where(row & s == 0, lower, upper)
 
-Everything is sublane-dim reshapes + elementwise u32 VPU ops (the M31
-product is the 16-bit limb decomposition of ops/m31_pallas.py) + a single
-transpose each way — no lane-dim shuffles.
+— one modular multiply per element per stage, two cyclic sublane rolls, one
+select; no reshapes, no concatenates (Mosaic rejects trailing-1 reshapes
+and pays relayouts for collapse/expand forms — the first, fully-fused
+attempt was 10x slower than XLA because of them).
 
-Supported: 12 <= log_size <= 19 on TPU (whole transform + twiddles fit
-VMEM); other sizes and other backends fall back to the staged XLA path.
-Batched (C, N) inputs grid over C.
+The M31 product is the 16-bit limb decomposition of ops/m31_pallas.py.
+Supported on TPU for MIN_LOG <= log <= MAX_LOG; everything else falls back
+to the staged XLA path. Batched (C, N) inputs grid over C.
 """
 
 from __future__ import annotations
@@ -33,13 +34,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import fft, m31
+from ..core import fft
 from ..core.m31 import P_INT
 from .m31_pallas import _mul_body, _on_tpu
 
 _LANES = 128
 _LOG_LANES = 7
-MIN_LOG, MAX_LOG = 14, 19
+MIN_LOG, MAX_LOG = 12, 20
 
 
 def _addmod(a, b):
@@ -53,139 +54,63 @@ def _submod(a, b):
 
 
 @lru_cache(maxsize=16)
-def _packed_twiddles(log_size: int, inverse: bool):
-    """(TBLK (A//2, n_hi), TLO (127, A)) host arrays for the fused kernel.
-
-    TBLK[:, k] holds stage L_k = n-1-k's per-block twiddles in its first
-    2^(n-1-L_k) rows (2-D so the kernel takes a plain (blocks, 1) slice —
-    Mosaic rejects trailing-1 reshapes of 1-D vectors). TLO packs the
-    transposed low-stage twiddles: rows (2^(6-L) - 1) .. (2^(5-L) * 2 - 1)
-    hold TLO_L[g, a] = tw[L][a * 2^(6-L) + g].
-    """
+def _row_twiddles(log_size: int, inverse: bool) -> np.ndarray:
+    """THI_T (A, n_hi): column k = stage L_k = n-1-k's per-row pair twiddle
+    THI_T[a, k] = tw[L_k][a >> (L_k - 6)] (2-D so the kernel slices an
+    (A, 1) column — no reshape)."""
     n = log_size
     A = 1 << (n - _LOG_LANES)
     tw = fft.get_twiddles(n)
     stages = tw.inv if inverse else tw.fwd
     n_hi = n - _LOG_LANES
-    tblk = np.zeros((A // 2, max(n_hi, 1)), np.uint32)
+    out = np.empty((A, n_hi), np.uint32)
+    a = np.arange(A)
     for k, L in enumerate(range(n - 1, _LOG_LANES - 1, -1)):
-        blocks = 1 << (n - 1 - L)
-        tblk[:blocks, k] = stages[L][:blocks]
-    tlo = np.empty((127, A), np.uint32)
-    off = 0
-    for L in range(_LOG_LANES - 1, -1, -1):
-        g_count = 1 << (_LOG_LANES - 1 - L)   # 2^(6-L)
-        a = np.arange(A)[None, :]
-        g = np.arange(g_count)[:, None]
-        tlo[off:off + g_count] = stages[L][a * g_count + g]
-        off += g_count
-    assert off == 127
-    return tblk, tlo
+        out[:, k] = stages[L][a >> (L - _LOG_LANES + 1)]
+    return out
 
 
-def _eval_stages_hi(x, tblk, n, A):
-    """Forward butterflies for stages n-1 .. 7 on the (A, 128) view.
-    2-D forms only: leading-dim collapse, lane slices at 128-multiples,
-    (blocks, 1) twiddle broadcast."""
-    for k, L in enumerate(range(n - 1, _LOG_LANES - 1, -1)):
-        s = 1 << (L - _LOG_LANES)
-        blocks = A // (2 * s)
-        w = s * _LANES
-        v = x.reshape(blocks, 2 * w)
-        a_, b_ = v[:, :w], v[:, w:]
-        t = tblk[:blocks, k:k + 1]                    # (blocks, 1)
-        tb = _mul_body(b_, t)
-        x = jnp.concatenate([_addmod(a_, tb), _submod(a_, tb)],
-                            axis=1).reshape(A, _LANES)
-    return x
+def _make_hi_kernel(n: int, inverse: bool):
+    from jax.experimental.pallas import tpu as pltpu
 
-
-def _eval_stages_lo(y, tlo, A):
-    """Forward butterflies for stages 6 .. 0 on the transposed (128, A)."""
-    off = 0
-    for L in range(_LOG_LANES - 1, -1, -1):
-        g_count = 1 << (_LOG_LANES - 1 - L)
-        s = 1 << L
-        t_g = tlo[off:off + g_count]                  # (g_count, A)
-        off += g_count
-        w = s * A
-        v = y.reshape(g_count, 2 * w)
-        a_, b_ = v[:, :w], v[:, w:]
-        # trailing (i, a) layout is i-major: tile the A-vector s times
-        t = t_g if s == 1 else jnp.concatenate([t_g] * s, axis=1)
-        tb = _mul_body(b_, t)
-        y = jnp.concatenate([_addmod(a_, tb), _submod(a_, tb)],
-                            axis=1).reshape(_LANES, A)
-    return y
-
-
-def _interp_stages_lo(y, tlo, A):
-    """Inverse butterflies for stages 0 .. 6 on the transposed (128, A)."""
-    for L in range(0, _LOG_LANES):
-        g_count = 1 << (_LOG_LANES - 1 - L)
-        s = 1 << L
-        # tlo rows for stage L start after all stages > L
-        off = (1 << (_LOG_LANES - 1 - L)) - 1
-        t_g = tlo[off:off + g_count]
-        w = s * A
-        v = y.reshape(g_count, 2 * w)
-        a_, b_ = v[:, :w], v[:, w:]
-        t = t_g if s == 1 else jnp.concatenate([t_g] * s, axis=1)
-        ssum = _addmod(a_, b_)
-        d = _mul_body(_submod(a_, b_), t)
-        y = jnp.concatenate([ssum, d], axis=1).reshape(_LANES, A)
-    return y
-
-
-def _interp_stages_hi(x, tblk, n, A):
-    """Inverse butterflies for stages 7 .. n-1 on the (A, 128) view."""
-    for L in range(_LOG_LANES, n):
-        k = n - 1 - L   # tblk columns are ordered stage n-1 .. 7
-        s = 1 << (L - _LOG_LANES)
-        blocks = A // (2 * s)
-        w = s * _LANES
-        v = x.reshape(blocks, 2 * w)
-        a_, b_ = v[:, :w], v[:, w:]
-        t = tblk[:blocks, k:k + 1]
-        ssum = _addmod(a_, b_)
-        d = _mul_body(_submod(a_, b_), t)
-        x = jnp.concatenate([ssum, d], axis=1).reshape(A, _LANES)
-    return x
-
-
-def _make_eval_kernel(n: int):
     A = 1 << (n - _LOG_LANES)
 
-    def kernel(x_ref, thi_ref, tlo_ref, o_ref):
-        x = _eval_stages_hi(x_ref[0], thi_ref[:], n, A)
-        y = _eval_stages_lo(x.T, tlo_ref[:], A)
-        o_ref[0] = y.T
-
-    return kernel
-
-
-def _make_interp_kernel(n: int):
-    A = 1 << (n - _LOG_LANES)
-    scale = np.uint32(pow((P_INT + 1) // 2, n, P_INT))
-
-    def kernel(x_ref, thi_ref, tlo_ref, o_ref):
-        y = _interp_stages_lo(x_ref[0].T, tlo_ref[:], A)
-        x = _interp_stages_hi(y.T, thi_ref[:], n, A)
-        o_ref[0] = _mul_body(x, jnp.full((A, _LANES), scale, jnp.uint32))
+    def kernel(x_ref, tw_ref, o_ref):
+        x = x_ref[0]
+        iota = jax.lax.broadcasted_iota(jnp.uint32, (A, _LANES), 0)
+        if inverse:
+            stage_order = range(_LOG_LANES, n)          # low -> high
+        else:
+            stage_order = range(n - 1, _LOG_LANES - 1, -1)
+        for L in stage_order:
+            k = n - 1 - L
+            s = 1 << (L - _LOG_LANES)
+            t = tw_ref[:, k:k + 1]                      # (A, 1)
+            sel = (iota & np.uint32(s)) == 0
+            up = pltpu.roll(x, A - s, axis=0)           # row a -> x[a+s]
+            down = pltpu.roll(x, s, axis=0)             # row a -> x[a-s]
+            if inverse:
+                # lower: a+b ; upper: (a-b)*itw
+                x = jnp.where(sel, _addmod(x, up),
+                              _mul_body(_submod(down, x), t))
+            else:
+                tb = _mul_body(x, t)
+                tb_up = pltpu.roll(tb, A - s, axis=0)
+                x = jnp.where(sel, _addmod(x, tb_up), _submod(down, tb))
+        o_ref[0] = x
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
-def _fft_pallas_call(values, thi, tlo, n: int, inverse: bool,
-                     interpret: bool = False):
+def _hi_stages_call(values, tw, n: int, inverse: bool, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     A = 1 << (n - _LOG_LANES)
     C = values.shape[0]
-    kernel = (_make_interp_kernel if inverse else _make_eval_kernel)(n)
-    n_hi = max(n - _LOG_LANES, 1)
+    kernel = _make_hi_kernel(n, inverse)
+    n_hi = n - _LOG_LANES
 
     out = pl.pallas_call(
         kernel,
@@ -194,43 +119,80 @@ def _fft_pallas_call(values, thi, tlo, n: int, inverse: bool,
         in_specs=[
             pl.BlockSpec((1, A, _LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((A // 2, n_hi), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((127, A), lambda i: (0, 0),
+            pl.BlockSpec((A, n_hi), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, A, _LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(values.reshape(C, A, _LANES), thi, tlo)
+    )(values.reshape(C, A, _LANES), tw)
     return out.reshape(C, 1 << n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _lo_eval_jit(v, fwd_tw, n: int):
+    """Fused XLA low stages 6..0 of the forward transform."""
+    for L in reversed(range(_LOG_LANES)):
+        blocks = 1 << (n - 1 - L)
+        vv = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
+        a = vv[..., 0, :]
+        b = vv[..., 1, :]
+        from ..core import m31
+
+        tb = m31.mul(b, fwd_tw[L].reshape((blocks, 1)))
+        v = jnp.stack([m31.add(a, tb), m31.sub(a, tb)],
+                      axis=-2).reshape(v.shape[:-1] + (1 << n,))
+    return v
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _lo_interp_jit(v, inv_tw, n: int):
+    """Fused XLA low stages 0..6 of the inverse transform (no final scale —
+    the high-stage kernel's caller applies 1/2^n)."""
+    from ..core import m31
+
+    for L in range(_LOG_LANES):
+        blocks = 1 << (n - 1 - L)
+        vv = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
+        a = vv[..., 0, :]
+        b = vv[..., 1, :]
+        s = m31.add(a, b)
+        d = m31.mul(m31.sub(a, b), inv_tw[L].reshape((blocks, 1)))
+        v = jnp.stack([s, d], axis=-2).reshape(v.shape[:-1] + (1 << n,))
+    return v
 
 
 def _supported(log_size: int) -> bool:
     return MIN_LOG <= log_size <= MAX_LOG
 
 
+def available(log_size: int) -> bool:
+    return _on_tpu() and _supported(log_size)
+
+
 def evaluate(coeffs: jnp.ndarray, log_size: int, interpret: bool = False) -> jnp.ndarray:
-    """Fused-pallas circle-FFT evaluate; same contract as fft.evaluate.
-    coeffs: (C, 2^n) or (2^n,)."""
+    """Hybrid pallas/XLA circle-FFT evaluate; same contract as
+    fft.evaluate. coeffs: (C, 2^n) or (2^n,)."""
+    n = log_size
     squeeze = coeffs.ndim == 1
     mat = coeffs[None] if squeeze else coeffs
-    thi, tlo = _packed_twiddles(log_size, False)
-    out = _fft_pallas_call(mat, jnp.asarray(thi), jnp.asarray(tlo),
-                           log_size, False, interpret)
+    tw = jnp.asarray(_row_twiddles(n, False))
+    mid = _hi_stages_call(mat, tw, n, False, interpret)
+    out = _lo_eval_jit(mid, fft._device_twiddles(n)[0], n)
     return out[0] if squeeze else out
 
 
 def interpolate(values: jnp.ndarray, log_size: int, interpret: bool = False) -> jnp.ndarray:
-    """Fused-pallas circle-FFT interpolate; same contract as
+    """Hybrid pallas/XLA circle-FFT interpolate; same contract as
     fft.interpolate."""
+    from ..core import m31
+
+    n = log_size
     squeeze = values.ndim == 1
     mat = values[None] if squeeze else values
-    thi, tlo = _packed_twiddles(log_size, True)
-    out = _fft_pallas_call(mat, jnp.asarray(thi), jnp.asarray(tlo),
-                           log_size, True, interpret)
+    mid = _lo_interp_jit(mat, fft._device_twiddles(n)[1], n)
+    tw = jnp.asarray(_row_twiddles(n, True))
+    out = _hi_stages_call(mid, tw, n, True, interpret)
+    scale = np.uint32(pow((P_INT + 1) // 2, n, P_INT))
+    out = m31.mul(out, scale)
     return out[0] if squeeze else out
-
-
-def available(log_size: int) -> bool:
-    return _on_tpu() and _supported(log_size)

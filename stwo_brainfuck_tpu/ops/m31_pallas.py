@@ -108,9 +108,35 @@ def mul_add(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     return _pallas_elementwise(_mul_add_kernel, 3, a, b, c)
 
 
+def _mul_chain_kernel(a_ref, b_ref, o_ref, *, chain):
+    x = a_ref[:]
+    b = b_ref[:]
+    for _ in range(chain):
+        x = _mul_body(x, b)
+    o_ref[:] = x
+
+
+@partial(jax.jit, static_argnames=("chain",))
+def mul_chain(a: jnp.ndarray, b: jnp.ndarray, chain: int = 8) -> jnp.ndarray:
+    """((a*b)*b)*... `chain` times, entirely in VMEM — the compute-bound
+    sustained-throughput kernel (XLA fuses its chain the same way, so this
+    is the apples-to-apples comparison; round 1 compared a chain of separate
+    Pallas dispatches against one fused XLA loop and lost on HBM traffic)."""
+    if not _on_tpu() or not _pallas_ok(a):
+        x = a
+        for _ in range(chain):
+            x = m31.mul(x, b)
+        return x
+    from functools import partial as _p
+
+    return _pallas_elementwise(_p(_mul_chain_kernel, chain=chain), 2, a, b)
+
+
 def throughput_benchmark(log_n: int = 24, iters: int = 50) -> dict:
-    """Measure M31 multiply throughput (ops/s/chip) for the Pallas and jnp
-    paths, with a chained kernel so the measurement is compute-bound."""
+    """Measure sustained M31 multiply throughput (ops/s/chip) for the Pallas
+    and fused-XLA paths: both run an in-register chain of 8 dependent
+    multiplies per element, so HBM traffic is amortized and the VPU is the
+    bottleneck."""
     import time
 
     n = 1 << log_n
@@ -120,12 +146,8 @@ def throughput_benchmark(log_n: int = 24, iters: int = 50) -> dict:
 
     chain = 8
 
-    @jax.jit
     def chained_pallas(a, b):
-        x = a
-        for _ in range(chain):
-            x = mul(x, b)
-        return x
+        return mul_chain(a, b, chain)
 
     @jax.jit
     def chained_jnp(a, b):

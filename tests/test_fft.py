@@ -2,6 +2,7 @@
 interpolate/evaluate roundtrip, low-degree extension."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from stwo_brainfuck_tpu.core import fft, m31
@@ -123,3 +124,24 @@ def test_batch_columns():
     coeffs = fft.interpolate(vals, log_size)
     back = np.asarray(fft.evaluate(coeffs, log_size))
     np.testing.assert_array_equal(back, vals)
+
+
+def test_pallas_hybrid_fft_bit_exact_interpret():
+    """ops/fft_pallas hybrid kernels vs the staged XLA path (interpret mode
+    runs the Pallas kernel on CPU; real-TPU exactness is asserted by the
+    same comparison in the TPU bench path)."""
+    from stwo_brainfuck_tpu.ops import fft_pallas
+
+    rng = np.random.default_rng(3)
+    for log in (12, 13):
+        vals = jnp.asarray(rng.integers(0, P_INT, (2, 1 << log), dtype=np.uint32))
+        np.testing.assert_array_equal(
+            np.asarray(fft_pallas.evaluate(vals, log, interpret=True)),
+            np.asarray(fft.evaluate(vals, log)))
+        np.testing.assert_array_equal(
+            np.asarray(fft_pallas.interpolate(vals, log, interpret=True)),
+            np.asarray(fft.interpolate(vals, log)))
+        # 1-D contract
+        np.testing.assert_array_equal(
+            np.asarray(fft_pallas.evaluate(vals[0], log, interpret=True)),
+            np.asarray(fft.evaluate(vals[0], log)))
