@@ -116,8 +116,10 @@ def main() -> int:
             if p == program or p in results:
                 continue
             try:
+                # warmup is cheap here: shapes shared with the headline
+                # program return instantly from the jit cache
                 results[p] = run_program(p, air, warmup_mod, PcsConfig,
-                                         do_warmup=False)
+                                         do_warmup=True)
             except Exception as exc:  # e.g. capacity refusal
                 results[p] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"# {p}: {results[p]}", file=sys.stderr)

@@ -218,6 +218,63 @@ def extend_with_coeffs(values: jnp.ndarray, log_size: int, log_blowup: int):
                        log_size, log_blowup)
 
 
+# ---------------------------------------------------------------------------
+# Closed-form is_first (Lagrange kernel at the first domain point)
+# ---------------------------------------------------------------------------
+#
+# interpolate(e_0) has Kronecker structure: only block 0 of each butterfly
+# stage is nonzero, so  c_j = (1/N) * prod_{bits b of j set} invtw_b[0].
+# Hence the polynomial factors:
+#   f(p) = (1/N) * prod_{b=0}^{n-1} (1 + invtw_b[0] * phi_b(p)),
+#   phi_0 = y, phi_k = pi^(k-1)(x)
+# — the extended evaluation is n fused elementwise passes (no butterflies),
+# one tiny executable per (n, m) instead of a full CFFT per ladder size.
+
+@partial(jax.jit, static_argnames=("n",))
+def _is_first_coeffs_jit(tws, n: int):
+    v = jnp.ones((1,), jnp.uint32)
+    for b in range(n):
+        v = jnp.concatenate([v, m31.mul(v, tws[b])])
+    scale = np.uint32(pow((P_INT + 1) // 2, n, P_INT))
+    return m31.mul(v, scale)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _is_first_ext_jit(xs, ys, tws, n: int):
+    one = jnp.uint32(1)
+    f = m31.add(one, m31.mul(ys, tws[0]))
+    cur = xs
+    for b in range(1, n):
+        f = m31.mul(f, m31.add(one, m31.mul(cur, tws[b])))
+        if b + 1 < n:
+            # pi(x) = 2x^2 - 1
+            x2 = m31.mul(cur, cur)
+            cur = m31.add(m31.add(x2, x2), jnp.uint32(P_INT - 1))
+    scale = np.uint32(pow((P_INT + 1) // 2, n, P_INT))
+    return m31.mul(f, scale)
+
+
+def _is_first_tws(n: int) -> jnp.ndarray:
+    return jnp.asarray(np.array(
+        [get_twiddles(n).inv[b][0] for b in range(n)], np.uint32))
+
+
+def is_first_coeffs(log_size: int) -> jnp.ndarray:
+    """Coefficients of the is_first column's interpolant (equals
+    interpolate(e_0) exactly; tested against the CFFT path)."""
+    return _is_first_coeffs_jit(_is_first_tws(log_size), log_size)
+
+
+def is_first_extended(log_size: int, eval_log: int) -> jnp.ndarray:
+    """is_first's low-degree extension onto the canonic domain of size
+    2^eval_log (bit-reversed storage) — closed form, no CFFT."""
+    from .quotients import domain_points_storage
+
+    xs, ys = domain_points_storage(eval_log)
+    return _is_first_ext_jit(jnp.asarray(xs), jnp.asarray(ys),
+                             _is_first_tws(log_size), log_size)
+
+
 @lru_cache(maxsize=64)
 def coset_order_permutation(log_size: int) -> np.ndarray:
     """perm[l] = storage position (bit-reversed [H, -H] order) of the l-th

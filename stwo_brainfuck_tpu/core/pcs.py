@@ -99,6 +99,23 @@ class TreeProver:
         self.tree = commit(by_level)
         channel.mix_root(self.tree.root)
 
+    @classmethod
+    def from_records(cls, records: List["ColumnRecord"], config: PcsConfig,
+                     ops=None) -> "TreeProver":
+        """Commit a tree from precomputed (coeffs, extended) records —
+        used by the closed-form is_first ladder, which needs no CFFT."""
+        self = object.__new__(cls)
+        self.config = config
+        self.records = list(records)
+        by_level: Dict[int, jnp.ndarray] = {}
+        for rec in self.records:
+            lvl = rec.log_size + config.log_blowup
+            assert lvl not in by_level, "from_records: one column per level"
+            by_level[lvl] = rec.extended[None]
+        commit = ops.commit if ops else merkle.commit
+        self.tree = commit(by_level)
+        return self
+
     @property
     def root(self) -> bytes:
         return self.tree.root

@@ -125,13 +125,23 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
     # --- FFT shapes (per tree size-group) + merkle level shapes -----------
     fft_shapes = set()       # fused extend: (C, trace log)
     merkle_shapes = set()
-    for g in _tree_groups(layout):
+    for ti, g in enumerate(_tree_groups(layout)):
         by_level = {}
         for lg, cnt in g.items():
-            fft_shapes.add((cnt, lg))
+            if ti != 0:
+                fft_shapes.add((cnt, lg))
             by_level[lg + blow] = cnt
         for s in _merkle_shapes(by_level):
             merkle_shapes.add(s)
+
+    # tree0 (is_first ladder) uses the closed-form kernels, not CFFT
+    for lg in layout.ladder:
+
+        def warm_is_first(lg=lg):
+            fft.is_first_coeffs(lg)
+            fft.is_first_extended(lg, lg + blow).block_until_ready()
+
+        thunks.append(warm_is_first)
 
     for cnt, lg in sorted(fft_shapes):
 

@@ -145,3 +145,20 @@ def test_pallas_hybrid_fft_bit_exact_interpret():
         np.testing.assert_array_equal(
             np.asarray(fft_pallas.evaluate(vals[0], log, interpret=True)),
             np.asarray(fft.evaluate(vals[0], log)))
+
+
+def test_is_first_closed_form_matches_cfft():
+    """The closed-form Lagrange-kernel is_first (fft.is_first_coeffs /
+    is_first_extended, used for the preprocessed ladder in air.py) must be
+    bit-identical to running the full CFFT on the indicator column e_0."""
+    for log_size in (2, 3, 5, 8):
+        e0 = np.zeros(1 << log_size, np.uint32)
+        e0[0] = 1
+        ref_coeffs = np.asarray(fft.interpolate(jnp.asarray(e0), log_size))
+        np.testing.assert_array_equal(
+            np.asarray(fft.is_first_coeffs(log_size)), ref_coeffs)
+        for blowup in (1, 2):
+            ref_ext = np.asarray(fft.extend(jnp.asarray(e0), blowup))
+            np.testing.assert_array_equal(
+                np.asarray(fft.is_first_extended(log_size, log_size + blowup)),
+                ref_ext)
