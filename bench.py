@@ -79,6 +79,51 @@ def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
     }
 
 
+def fft_benchmark(log_n: int = 18, batch: int = 8, iters: int = 20) -> dict:
+    """Sustained CFFT throughput in butterflies/s (a size-2^n transform does
+    n * 2^(n-1) butterflies) for the staged-XLA and hybrid-Pallas paths, on
+    the dominant fib19 commitment shape (C=8 columns of 2^18)."""
+    import time
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stwo_brainfuck_tpu.core import fft
+    from stwo_brainfuck_tpu.ops import fft_pallas
+
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(
+        rng.integers(0, (1 << 31) - 1, (batch, 1 << log_n), dtype=np.uint32))
+    bf = batch * log_n * (1 << (log_n - 1))
+
+    paths = {
+        "xla": {
+            "evaluate": lambda v: fft._evaluate_jit(
+                v, fft._device_twiddles(log_n)[0], log_n),
+            "interpolate": lambda v: fft._interpolate_jit(
+                v, fft._device_twiddles(log_n)[1], log_n),
+        },
+    }
+    if fft_pallas.available(log_n):
+        paths["pallas"] = {
+            "evaluate": lambda v: fft_pallas.evaluate(v, log_n),
+            "interpolate": lambda v: fft_pallas.interpolate(v, log_n),
+        }
+
+    out = {}
+    for name, fns in paths.items():
+        out[name] = {}
+        for op, fn in fns.items():
+            x = fn(vals)
+            x.block_until_ready()  # compile + warm
+            t0 = time.time()
+            for _ in range(iters):
+                x = fn(x)
+            x.block_until_ready()
+            out[name][op] = bf * iters / (time.time() - t0)
+    return out
+
+
 def main() -> int:
     platform = os.environ.get("STWO_BF_PLATFORM")
     if platform:
@@ -103,6 +148,21 @@ def main() -> int:
             "unit": "Gop/s",
             "vs_baseline": 1.0,
             "paths": {k: round(v / 1e9, 2) for k, v in r.items()},
+        }))
+        return 0
+
+    if program == "fft":
+        # microbenchmark mode: CFFT butterflies/s per chip (PERF.md §2),
+        # both the staged-XLA and the hybrid-Pallas paths on fib19 shapes.
+        r = fft_benchmark()
+        best = max(v for d in r.values() for v in d.values())
+        print(json.dumps({
+            "metric": "CFFT butterflies per second per chip",
+            "value": round(best / 1e9, 2),
+            "unit": "Gbutterfly/s",
+            "vs_baseline": 1.0,
+            "paths": {k: {kk: round(v / 1e9, 2) for kk, v in d.items()}
+                      for k, d in r.items()},
         }))
         return 0
 

@@ -43,7 +43,9 @@ from .framework.component import (
     composition_contribution,
     evaluate_constraints_at_point,
 )
-from functools import lru_cache
+from functools import lru_cache, partial
+
+import jax
 
 
 @lru_cache(maxsize=64)
@@ -77,6 +79,19 @@ def _preprocessed_tree(ladder: tuple, log_blowup: int) -> TreeProver:
     return TreeProver.from_records(records, cfg)
 
 N_TREES = 4  # preprocessed, main, interaction, composition
+
+
+@partial(jax.jit, static_argnames=("comp_log",))
+def _combine_eval_jit(coeffs_list: tuple, fwd_tw, comp_log: int):
+    """Zero-pad each per-size coefficient block to 2^comp_log, add them mod p
+    (the circle-FFT basis is nested, so padded addition = polynomial
+    addition), and evaluate on the composition domain — one executable
+    instead of pad/add glue per size plus a separate evaluate."""
+    total = jnp.zeros((4, 1 << comp_log), jnp.uint32)
+    for coeffs in coeffs_list:
+        pad = (1 << comp_log) - coeffs.shape[-1]
+        total = m31.add(total, jnp.pad(coeffs, ((0, 0), (0, pad))))
+    return fft._evaluate_body(total, fwd_tw, comp_log)
 
 
 class ProvingError(Exception):
@@ -302,14 +317,21 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
         acc[lg] = contrib if lg not in acc else qm31.add(acc[lg], contrib)
 
     comp_log = layout.composition_log
-    interpolate = ops.interpolate if ops else fft.interpolate
-    evaluate = ops.evaluate if ops else fft.evaluate
-    comp_coeffs = jnp.zeros((4, 1 << comp_log), jnp.uint32)
-    for lg, arr in acc.items():
-        coeffs = interpolate(arr, lg)  # (4, 2^lg)
-        pad = (1 << comp_log) - (1 << lg)
-        comp_coeffs = m31.add(comp_coeffs, jnp.pad(coeffs, ((0, 0), (0, pad))))
-    comp_evals = evaluate(comp_coeffs, comp_log)
+    if ops is None:
+        # per-size interpolates (hybrid Pallas/XLA dispatch), then ONE fused
+        # executable for zero-pad + modular add + the top-size evaluate
+        coeffs_list = tuple(fft.interpolate(arr, lg)
+                            for lg, arr in sorted(acc.items()))
+        comp_evals = _combine_eval_jit(
+            coeffs_list, fft._device_twiddles(comp_log)[0], comp_log)
+    else:
+        comp_coeffs = jnp.zeros((4, 1 << comp_log), jnp.uint32)
+        for lg, arr in acc.items():
+            coeffs = ops.interpolate(arr, lg)  # (4, 2^lg)
+            pad = (1 << comp_log) - (1 << lg)
+            comp_coeffs = m31.add(comp_coeffs,
+                                  jnp.pad(coeffs, ((0, 0), (0, pad))))
+        comp_evals = ops.evaluate(comp_coeffs, comp_log)
     tree3 = TreeProver([(comp_log, comp_evals[c]) for c in range(4)], config,
                        channel, ops=ops)
 
@@ -382,34 +404,62 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     }
 
 
+def sampling_plan(layout: SystemLayout) -> Dict[tuple, list]:
+    """(trace log, shift) -> [(tree, column, point index)] in walk order.
+    Shared by the prover's fused sampling executable and warmup (which must
+    reproduce the exact static group structure to precompile it)."""
+    groups: Dict[tuple, list] = {}
+    for ti, metas in enumerate(layout.trees):
+        for ci, meta in enumerate(metas):
+            for pi, s in enumerate(meta.shifts):
+                groups.setdefault((meta.log_size, s), []).append((ti, ci, pi))
+    return groups
+
+
+@partial(jax.jit, static_argnames=("logs",))
+def _sample_all_jit(mats_t: tuple, factors_t: tuple, logs: tuple):
+    """ALL OODS sampling matvecs in ONE executable: per group, stack the
+    member coefficient rows, build the secure basis from the point's per-bit
+    factors, and reduce. One dispatch + one host pull for the whole mask."""
+    from .core import poly, qm31
+
+    outs = []
+    for mats, factors, lg in zip(mats_t, factors_t, logs):
+        mat = jnp.stack(mats)
+        basis = qm31.one((1,))
+        for k in range(lg):
+            fv = factors[k].reshape(4, 1)
+            basis = jnp.concatenate([basis, qm31.mul(basis, fv)], axis=1)
+        outs.append(poly._dot_basis(mat, basis))
+    return tuple(outs)
+
+
 def _sample_all_trees(trees, layout: SystemLayout, z) -> List[List[List[tuple]]]:
-    """OODS-sample every committed column of every tree at its mask points in
-    ONE batch: columns are grouped by (trace log, point) ACROSS trees, each
-    group is one device matvec, and all results come back in a single host
-    transfer (each separate pull costs a full TPU-relay round trip)."""
+    """OODS-sample every committed column of every tree at its mask points:
+    columns are grouped by (trace log, shift) ACROSS trees and the whole mask
+    runs as one fused executable + one host transfer (each separate dispatch
+    or pull costs a full TPU-relay round trip)."""
     from .core import poly
     from .utils.transfer import pull_all
 
-    groups: Dict[tuple, list] = {}
-    for ti, (tree, metas) in enumerate(zip(trees, layout.trees)):
-        for ci, (rec, meta) in enumerate(zip(tree.records, metas)):
-            for pi, s in enumerate(meta.shifts):
-                pt = shifted_point(z, meta.log_size, s)
-                key = (rec.log_size, (tuple(pt[0]), tuple(pt[1])))
-                groups.setdefault(key, []).append((ti, ci, pi, pt))
-
-    futs = []
-    for (log_size, _), members in groups.items():
-        mat = jnp.stack([trees[ti].records[ci].coeffs for ti, ci, _, _ in members])
-        basis = poly.secure_basis_at_point(log_size, members[0][3])
-        futs.append(poly._dot_basis(mat, basis))
-    host = pull_all(futs)
+    groups = sampling_plan(layout)
+    mats_t = []
+    factors_t = []
+    logs = []
+    for (log_size, s), members in groups.items():
+        mats_t.append(tuple(trees[ti].records[ci].coeffs
+                            for ti, ci, _ in members))
+        pt = shifted_point(z, log_size, s)
+        factors_t.append(jnp.asarray(poly._point_factors(log_size, pt)))
+        logs.append(log_size)
+    outs = _sample_all_jit(tuple(mats_t), tuple(factors_t), tuple(logs))
+    host = pull_all(list(outs))
 
     sampled: List[List[List[Optional[tuple]]]] = [
         [[None] * len(meta.shifts) for meta in metas] for metas in layout.trees
     ]
     for members, arr in zip(groups.values(), host):
-        for (ti, ci, pi, _), c in zip(members, range(arr.shape[1])):
+        for (ti, ci, pi), c in zip(members, range(arr.shape[1])):
             sampled[ti][ci][pi] = tuple(int(arr[k, c]) for k in range(4))
     return sampled  # type: ignore[return-value]
 

@@ -50,6 +50,19 @@ def _line_fold_itw(line_log_size: int) -> np.ndarray:
     return m31.np_inv((2 * x.astype(np.uint64)) % P_INT)
 
 
+_DEV_ITW: dict = {}
+
+
+def _dev_itw(kind: str, log: int) -> jnp.ndarray:
+    """Device copies of the fold twiddle arrays — uploading the host array on
+    every fold costs an 8 MB relay transfer per layer at the big sizes."""
+    key = (kind, log)
+    if key not in _DEV_ITW:
+        host = _circle_fold_itw(log) if kind == "c" else _line_fold_itw(log)
+        _DEV_ITW[key] = jnp.asarray(host)
+    return _DEV_ITW[key]
+
+
 @jax.jit
 def _fold_jit(values: jnp.ndarray, itw: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
     """One fold of a QM31 evaluation (4, 2N) -> (4, N)."""
@@ -60,16 +73,26 @@ def _fold_jit(values: jnp.ndarray, itw: jnp.ndarray, beta: jnp.ndarray) -> jnp.n
     return qm31.add(s, qm31.mul(beta.reshape(4, 1), d))
 
 
+@jax.jit
+def _fold2_jit(values, itw1, itw2, beta, beta2) -> jnp.ndarray:
+    """Two line folds (beta then beta^2) in ONE executable — the radix-4
+    layer body when no injection lands between the folds (each eager
+    dispatch is a TPU-relay round trip)."""
+    return _fold_jit(_fold_jit(values, itw1, beta), itw2, beta2)
+
+
 def _fold(values, itw, beta: tuple):
     return _fold_jit(values, jnp.asarray(itw), jnp.asarray(np.array(beta, np.uint32)))
 
 
 def fold_circle(values: jnp.ndarray, beta: tuple, log_size: int) -> jnp.ndarray:
-    return _fold(values, _circle_fold_itw(log_size), beta)
+    return _fold_jit(values, _dev_itw("c", log_size),
+                     jnp.asarray(np.array(beta, np.uint32)))
 
 
 def fold_line(values: jnp.ndarray, beta: tuple, line_log_size: int) -> jnp.ndarray:
-    return _fold(values, _line_fold_itw(line_log_size), beta)
+    return _fold_jit(values, _dev_itw("l", line_log_size),
+                     jnp.asarray(np.array(beta, np.uint32)))
 
 
 def _commit_layer(values: jnp.ndarray) -> merkle.MerkleTree:
@@ -162,7 +185,9 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
         return cur
 
     # Radix-4: each committed layer folds TWICE (beta, then beta^2) — halves
-    # the sequential root->beta transcript chain and the layer count.
+    # the sequential root->beta transcript chain and the layer count. When no
+    # injection lands between the two folds (most layers), both run in ONE
+    # fused executable.
     while m > LOG_LAST_LAYER:
         cur = inject(cur, m)
         tree = commit_layer(cur)
@@ -172,6 +197,13 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
         roots.append(tree.root)
         channel.mix_root(tree.root)
         beta = channel.draw_felt()
+        if m - 1 > LOG_LAST_LAYER and m not in inputs and ops is None:
+            beta2 = qm31.h_mul(beta, beta)
+            cur = _fold2_jit(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
+                             jnp.asarray(np.array(beta, np.uint32)),
+                             jnp.asarray(np.array(beta2, np.uint32)))
+            m -= 2
+            continue
         cur = fold_l(cur, beta, m)
         m -= 1
         if m > LOG_LAST_LAYER:

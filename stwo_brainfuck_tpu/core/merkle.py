@@ -31,18 +31,31 @@ from . import blake2s
 ColumnsByLog = Dict[int, List[jnp.ndarray]]
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
-def _cascade_jit(nodes: jnp.ndarray, n_levels: int):
-    """Hash n_levels PLAIN tree levels (no column injections) in one
-    executable: nodes (2N, 8) -> tuple of parent layers ((N,8), (N/2,8), ...).
-    One XLA program per (size, n_levels) instead of one hash executable per
-    level — executable count is the dominant cold-compile cost and each
-    eager dispatch is a TPU-relay round trip."""
-    outs = []
-    for _ in range(n_levels):
-        nodes = blake2s.hash_words(nodes.reshape(nodes.shape[0] // 2, 16))
-        outs.append(nodes)
-    return tuple(outs)
+@partial(jax.jit, static_argnames=("levels",))
+def _commit_tree_jit(mats: tuple, levels: tuple):
+    """The WHOLE mixed-size tree in one executable: mats[i] is the (C, 2^k)
+    column matrix injected at level k = levels[i] (levels descending).
+    Returns ({level: digests}, {level: column-value matrix}) — one dispatch
+    per tree instead of one per level (each eager dispatch is a TPU-relay
+    round trip, and each distinct level shape was a separate cold compile)."""
+    by = dict(zip(levels, mats))
+    layers = {}
+    col_matrix = {}
+    prev = None
+    for k in range(levels[0], -1, -1):
+        mat = by.get(k)
+        if mat is None:
+            prev = blake2s.hash_words(prev.reshape(prev.shape[0] // 2, 16))
+        elif prev is None:
+            msg = mat.T
+            prev = blake2s.hash_words(msg)
+            col_matrix[k] = msg
+        else:
+            msg = jnp.concatenate([prev.reshape(1 << k, 16), mat.T], axis=1)
+            prev = blake2s.hash_words(msg)
+            col_matrix[k] = msg[:, 16:]
+        layers[k] = prev
+    return layers, col_matrix
 
 
 @dataclass
@@ -62,28 +75,12 @@ class MerkleTree:
         return max(self.layers)
 
 
-@jax.jit
-def _hash_level_jit(prev: jnp.ndarray, mat: jnp.ndarray):
-    """One injection level: children digests (2n, 8) + column matrix (C, n)
-    -> (digests (n, 8), column values (n, C)). The message assembly lives
-    inside the executable (no eager reshape/concat glue)."""
-    n = mat.shape[1]
-    msg = jnp.concatenate([prev.reshape(n, 16), mat.T], axis=1)
-    return blake2s.hash_words(msg), msg[:, 16:]
-
-
-@jax.jit
-def _hash_leaf_jit(mat: jnp.ndarray):
-    msg = mat.T
-    return blake2s.hash_words(msg), msg
-
-
 def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
     """Build the tree on device; only the 32-byte root leaves the device.
 
     columns_by_log values may be a list of (2^level,) columns or one
     (C, 2^level) matrix (preferred — avoids per-column slicing executables).
-    Runs of column-free levels are fused into one _cascade_jit executable."""
+    The whole mixed-size tree is ONE fused executable (_commit_tree_jit)."""
     assert columns_by_log, "empty commitment"
     mats: Dict[int, jnp.ndarray] = {}
     for k, v in columns_by_log.items():
@@ -93,31 +90,9 @@ def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
             mat = jnp.asarray(v, jnp.uint32)
         assert mat.shape[1] == 1 << k, (mat.shape, k)
         mats[k] = mat
-    max_log = max(mats)
-    layers: Dict[int, jnp.ndarray] = {}
-    col_matrix: Dict[int, jnp.ndarray] = {}
-    prev: jnp.ndarray | None = None  # (2^(k+1), 8)
-
-    k = max_log
-    while k >= 0:
-        mat = mats.get(k)
-        if mat is None and prev is not None:
-            # fuse the whole run of plain levels down to the next injection
-            k_end = k
-            while k_end > 0 and mats.get(k_end - 1) is None:
-                k_end -= 1
-            run = k - k_end + 1
-            for i, layer in enumerate(_cascade_jit(prev, run)):
-                layers[k - i] = layer
-            prev = layers[k_end]
-            k = k_end - 1
-            continue
-        if prev is None:
-            prev, col_matrix[k] = _hash_leaf_jit(mat)
-        else:
-            prev, col_matrix[k] = _hash_level_jit(prev, mat)
-        layers[k] = prev
-        k -= 1
+    levels = tuple(sorted(mats, reverse=True))
+    layers, col_matrix = _commit_tree_jit(
+        tuple(mats[k] for k in levels), levels)
 
     root = blake2s.digest_to_bytes(np.asarray(layers[0][0]))
     return MerkleTree(root=root, layers=layers,

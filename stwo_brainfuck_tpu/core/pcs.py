@@ -11,12 +11,12 @@ by the blowup and injected at its own tree level.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
-from . import fft, merkle, poly
+from . import fft, merkle
 from .circle import point_at_index, secure_point_add, secure_point_from_m31, M31_CIRCLE_LOG_ORDER
 
 
@@ -119,24 +119,6 @@ class TreeProver:
     @property
     def root(self) -> bytes:
         return self.tree.root
-
-    def sample_at_points(self, points_per_column: Sequence[Sequence]) -> List[List[tuple]]:
-        """points_per_column[i]: list of QM31 circle points for column i.
-        Returns per-column lists of sampled QM31 values. Columns sharing
-        (log_size, point) are batched into one basis evaluation."""
-        groups: Dict[Tuple[int, tuple], List[Tuple[int, int]]] = {}
-        for ci, pts in enumerate(points_per_column):
-            log = self.records[ci].log_size
-            for pi, pt in enumerate(pts):
-                key = (log, (tuple(pt[0]), tuple(pt[1])))
-                groups.setdefault(key, []).append((ci, pi))
-        out: List[List[Optional[tuple]]] = [[None] * len(p) for p in points_per_column]
-        for (log, pt), members in groups.items():
-            mat = jnp.stack([self.records[ci].coeffs for ci, _ in members])
-            vals = poly.eval_columns_at_point(mat, pt)
-            for (ci, pi), v in zip(members, vals):
-                out[ci][pi] = v
-        return out  # type: ignore[return-value]
 
     def decommit(self, positions_by_level: Dict[int, List[int]]) -> merkle.MerkleDecommitment:
         return merkle.decommit(self.tree, positions_by_level)

@@ -105,6 +105,71 @@ def _point_group_quotient(wf, a_const, b_const, dy, dx, vc, px, py):
 
 _COL_CHUNK = 64  # bound the (4, C, N) weighted-reduction intermediate
 
+_DEV_POINTS: dict = {}
+
+
+def _dev_points(log_size: int):
+    """Device copies of the domain point coordinates (uploading them per
+    accumulate call costs a multi-MB relay transfer per size)."""
+    if log_size not in _DEV_POINTS:
+        xs, ys = domain_points_storage(log_size)
+        _DEV_POINTS[log_size] = (jnp.asarray(xs), jnp.asarray(ys))
+    return _DEV_POINTS[log_size]
+
+
+def _group_claims(claims: Sequence[Sequence[QuotientClaim]]) -> dict:
+    """point -> [(column index, claim)] in claim order."""
+    groups: dict = {}
+    for ci, col_claims in enumerate(claims):
+        for c in col_claims:
+            key = (tuple(c.point[0]), tuple(c.point[1]))
+            groups.setdefault(key, []).append((ci, c))
+    return groups
+
+
+def _group_constants(members, alpha: tuple):
+    """Host constants of one point group: (consts (5, 4) = [A, B, dy, dx, vc],
+    weights (C_g, 4), member column indices)."""
+    a_const = qm31.ZERO
+    b_const = qm31.ZERO
+    weights = np.zeros((len(members), 4), np.uint32)
+    idxs = []
+    dy = dx = vc = None
+    for i, (ci, c) in enumerate(members):
+        l0, s, dy_, dx_, vc_ = _line_and_vanishing_coeffs(c.point, c.value)
+        dy, dx, vc = dy_, dx_, vc_  # identical for the whole group
+        aw = qm31.h_pow(alpha, c.alpha_index)
+        weights[i] = aw
+        idxs.append(ci)
+        a_const = qm31.h_add(a_const, qm31.h_mul(aw, l0))
+        b_const = qm31.h_add(b_const, qm31.h_mul(aw, s))
+    consts = np.array([a_const, b_const, dy, dx, vc], np.uint32)
+    return consts, weights, tuple(idxs)
+
+
+@partial(jax.jit, static_argnames=("idx_groups",))
+def _accumulate_all_jit(cols: tuple, consts: jnp.ndarray, w: jnp.ndarray,
+                        px: jnp.ndarray, py: jnp.ndarray, idx_groups: tuple):
+    """ALL point groups of one commitment size in ONE executable: column
+    stacking, chunked weighted reductions, the per-group quotient, and the
+    final accumulation (was ~10 eager dispatches + 6 tiny uploads per size,
+    each a TPU-relay round trip)."""
+    acc = None
+    off = 0
+    for gi, idxs in enumerate(idx_groups):
+        wf = None
+        for start in range(0, len(idxs), _COL_CHUNK):
+            sel = idxs[start:start + _COL_CHUNK]
+            mat = jnp.stack([cols[ci] for ci in sel])
+            part = _weighted_columns(mat, w[off:off + len(sel)])
+            off += len(sel)
+            wf = part if wf is None else qm31.add(wf, part)
+        q = _point_group_quotient(wf, consts[gi, 0], consts[gi, 1],
+                                  consts[gi, 2], consts[gi, 3], consts[gi, 4],
+                                  px, py)
+        acc = q if acc is None else qm31.add(acc, q)
+    return acc
+
 
 def accumulate_quotients(
     log_size: int,
@@ -120,35 +185,34 @@ def accumulate_quotients(
     share the pair-vanishing V and the line structure, so
         sum_k a^k (f_k - l_k)/V  =  (1/V) * (sum_k a^k f_k - A - B*p.y)
     with scalar A = sum a^k l0_k, B = sum a^k s_k — one batch inverse and one
-    weighted column reduction per point instead of per claim."""
-    weighted = ops.weighted_columns if ops else _weighted_columns
-    point_group = ops.point_group_quotient if ops else _point_group_quotient
+    weighted column reduction per point instead of per claim. On a single
+    chip the whole size runs as ONE fused executable."""
+    groups = _group_claims(claims)
+
+    if ops is None:
+        consts_list = []
+        w_list = []
+        idx_groups = []
+        for members in groups.values():
+            consts, weights, idxs = _group_constants(members, alpha)
+            consts_list.append(consts)
+            w_list.append(weights)
+            idx_groups.append(idxs)
+        px, py = _dev_points(log_size)
+        return _accumulate_all_jit(
+            tuple(columns), jnp.asarray(np.stack(consts_list)),
+            jnp.asarray(np.concatenate(w_list)), px, py, tuple(idx_groups))
+
+    # multi-device path: per-group sharded kernels (parallel/prove.py)
+    weighted = ops.weighted_columns
+    point_group = ops.point_group_quotient
     xs, ys = domain_points_storage(log_size)
     px = jnp.asarray(xs)
     py = jnp.asarray(ys)
 
-    groups: dict = {}
-    for ci, col_claims in enumerate(claims):
-        for c in col_claims:
-            key = (tuple(c.point[0]), tuple(c.point[1]))
-            groups.setdefault(key, []).append((ci, c))
-
     acc = None
-    for (zx, zy), members in groups.items():
-        a_const = qm31.ZERO
-        b_const = qm31.ZERO
-        weights = np.zeros((len(members), 4), np.uint32)
-        idxs = np.empty(len(members), np.int32)
-        dy = dx = vc = None
-        for i, (ci, c) in enumerate(members):
-            l0, s, dy_, dx_, vc_ = _line_and_vanishing_coeffs(c.point, c.value)
-            dy, dx, vc = dy_, dx_, vc_  # identical for the whole group
-            aw = qm31.h_pow(alpha, c.alpha_index)
-            weights[i] = aw
-            idxs[i] = ci
-            a_const = qm31.h_add(a_const, qm31.h_mul(aw, l0))
-            b_const = qm31.h_add(b_const, qm31.h_mul(aw, s))
-
+    for members in groups.values():
+        consts, weights, idxs = _group_constants(members, alpha)
         wf = None
         for start in range(0, len(members), _COL_CHUNK):
             sel = idxs[start : start + _COL_CHUNK]
@@ -157,11 +221,9 @@ def accumulate_quotients(
             part = weighted(cols, w)
             wf = part if wf is None else qm31.add(wf, part)
 
-        def dev(t):
-            return jnp.asarray(np.array(t, np.uint32))
-
-        q = point_group(wf, dev(a_const), dev(b_const),
-                        dev(dy), dev(dx), dev(vc), px, py)
+        dev_consts = jnp.asarray(consts)
+        q = point_group(wf, dev_consts[0], dev_consts[1],
+                        dev_consts[2], dev_consts[3], dev_consts[4], px, py)
         acc = q if acc is None else qm31.add(acc, q)
     assert acc is not None
     return acc

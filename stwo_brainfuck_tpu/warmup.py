@@ -43,27 +43,6 @@ def _tree_groups(layout) -> Dict[int, int]:
     return groups
 
 
-def _merkle_shapes(by_level: Dict[int, int]):
-    """Mirror merkle.commit's segment walk: the (hash shape / cascade) set."""
-    shapes = []
-    max_log = max(by_level)
-    k = max_log
-    have_prev = False
-    while k >= 0:
-        c = by_level.get(k, 0)
-        if c == 0 and have_prev:
-            k_end = k
-            while k_end > 0 and by_level.get(k_end - 1, 0) == 0:
-                k_end -= 1
-            shapes.append(("cascade", 1 << (k + 1), k - k_end + 1))
-            k = k_end - 1
-            continue
-        shapes.append(("level" if have_prev else "leaf", 1 << k, c))
-        have_prev = True
-        k -= 1
-    return shapes
-
-
 def warmup_thunks(claim: Dict[str, int], config) -> List:
     """Enumerate zero-input thunks covering the prove pipeline's executables
     for this claim. Each distinct shape appears exactly once."""
@@ -122,17 +101,16 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
 
         thunks.append(warm_cons)
 
-    # --- FFT shapes (per tree size-group) + merkle level shapes -----------
+    # --- FFT shapes (per tree size-group) + whole-tree merkle shapes ------
     fft_shapes = set()       # fused extend: (C, trace log)
-    merkle_shapes = set()
+    tree_sigs = set()        # fused _commit_tree_jit signatures
     for ti, g in enumerate(_tree_groups(layout)):
         by_level = {}
         for lg, cnt in g.items():
             if ti != 0:
                 fft_shapes.add((cnt, lg))
             by_level[lg + blow] = cnt
-        for s in _merkle_shapes(by_level):
-            merkle_shapes.add(s)
+        tree_sigs.add(tuple(sorted(by_level.items())))
 
     # tree0 (is_first ladder) uses the closed-form kernels, not CFFT
     for lg in layout.ladder:
@@ -156,32 +134,23 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
     comp_log = layout.composition_log
 
     def warm_comp_fft():
-        for n in sorted(set(claim.values()), reverse=True):
-            c = fft.interpolate(_z(4, 1 << (n + blow)), n + blow)
-        fft.evaluate(_z(4, 1 << comp_log), comp_log).block_until_ready()
+        sizes = sorted({n + blow for n in claim.values()})
+        coeffs_list = tuple(fft.interpolate(_z(4, 1 << s), s) for s in sizes)
+        air._combine_eval_jit(
+            coeffs_list, fft._device_twiddles(comp_log)[0], comp_log,
+        ).block_until_ready()
 
     thunks.append(warm_comp_fft)
 
-    # --- OODS sampling matvecs (grouped by (trace log, point)) ------------
-    sample_groups: Dict[int, List[int]] = {}
-    for metas in layout.trees:
-        for meta in metas:
-            if not meta.shifts:
-                continue
-            g = sample_groups.setdefault(meta.log_size, [0, 0])
-            g[0] += 1
-            if 1 in meta.shifts:
-                g[1] += 1
-
+    # --- fused OODS sampling executable (exact group structure) -----------
     def warm_sampling():
-        from .core import poly
-
-        for lg, (n_z, n_zg) in sorted(sample_groups.items(), reverse=True):
-            basis = poly.secure_basis_at_point(lg, ((1, 0, 0, 0), (0, 0, 0, 0)))
-            for cnt in {n_z, n_zg}:
-                if cnt:
-                    out = poly._dot_basis(_z(cnt, 1 << lg), basis)
-        out.block_until_ready()
+        groups = air.sampling_plan(layout)
+        mats_t = tuple(tuple(_z(1 << lg) for _ in members)
+                       for (lg, _s), members in groups.items())
+        factors_t = tuple(_z(lg, 4) for (lg, _s) in groups)
+        logs = tuple(lg for (lg, _s) in groups)
+        for out in air._sample_all_jit(mats_t, factors_t, logs):
+            out.block_until_ready()
 
     thunks.append(warm_sampling)
 
@@ -190,78 +159,86 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
                          for metas in layout.trees for m in metas if m.shifts},
                         reverse=True)
     max_log = used_sizes[0]
-    fold_sizes = set()
-    for s in used_sizes:
-        fold_sizes.add(s)          # circle fold of each injected input
+    input_sizes = set(used_sizes)
+    fold_sizes = set(used_sizes)   # circle fold of each injected input
+    fold2_sizes = set()            # fused beta/beta^2 double folds
     m = max_log - 1
     layer_levels = []
     while m > fri.LOG_LAST_LAYER:
         layer_levels.append(m)
+        if m - 1 > fri.LOG_LAST_LAYER and m not in input_sizes:
+            fold2_sizes.add(m)
+            m -= 2
+            continue
         fold_sizes.add(m)
         m -= 1
         if m > fri.LOG_LAST_LAYER:
             fold_sizes.add(m)
             m -= 1
     for lvl in layer_levels:
-        for s in _merkle_shapes({lvl: 4}):
-            merkle_shapes.add(s)
+        tree_sigs.add(((lvl, 4),))
 
     def warm_folds():
+        one = jnp.ones(4, jnp.uint32)
         for s in sorted(fold_sizes, reverse=True):
-            out = fri._fold(_z(4, 1 << s), np.zeros(1 << (s - 1), np.uint32),
-                            (1, 0, 0, 0))
+            out = fri._fold_jit(_z(4, 1 << s), _z(1 << (s - 1)), one)
+        for s in sorted(fold2_sizes, reverse=True):
+            out = fri._fold2_jit(_z(4, 1 << s), _z(1 << (s - 1)),
+                                 _z(1 << (s - 2)), one, one)
         out.block_until_ready()
 
     thunks.append(warm_folds)
 
-    for kind, n, x in sorted(merkle_shapes, reverse=True):
+    # Simulated query set: n_queries distinct spread positions — for typical
+    # query counts the padded gather shapes (pow2 buckets) match the real
+    # random draw, so the decommit gather executables precompile too.
+    from .core.pcs import query_positions_by_level
 
-        def warm_merkle(kind=kind, n=n, x=x):
-            if kind == "leaf":
-                merkle._hash_leaf_jit(_z(x, n))[0].block_until_ready()
-            elif kind == "level":
-                merkle._hash_level_jit(_z(2 * n, 8), _z(x, n))[0].block_until_ready()
-            else:
-                merkle._cascade_jit(_z(n, 8), x)[-1].block_until_ready()
+    step = max(1, (1 << max_log) // (2 * config.n_queries))
+    fake_queries = sorted({(2 * i + 1) * step for i in range(config.n_queries)})
+
+    for sig in sorted(tree_sigs):
+
+        def warm_merkle(sig=sig):
+            tree = merkle.commit({k: _z(c, 1 << k) for k, c in sig})
+            levels = [k for k, _ in sig]
+            pos = query_positions_by_level(fake_queries, max_log, levels)
+            if pos:
+                merkle.decommit_async(tree, pos).finalize()
 
         thunks.append(warm_merkle)
 
-    # --- quotient kernels per size ----------------------------------------
-    cols_at_size: Dict[int, List[int]] = {}
+    def warm_fri_decommit():
+        # fri_decommit's per-layer evaluation gathers (padded-idx jnp.take)
+        for lvl in layer_levels:
+            positions = query_positions_by_level(fake_queries, max_log, [lvl])
+            idx, _n = merkle._padded_idx(positions[lvl])
+            jnp.take(_z(4, 1 << lvl), idx, axis=1).block_until_ready()
+
+    thunks.append(warm_fri_decommit)
+
+    # --- quotient kernels: one fused executable per size ------------------
+    # mirror prove's claims_by_size walk exactly (group0 = every opened
+    # column at z, group1 = the prefix-sum columns at z - g, in tree order)
+    size_shifts: Dict[int, List[tuple]] = {}
     for metas in layout.trees:
         for meta in metas:
             if not meta.shifts:
                 continue
-            s = meta.log_size + blow
-            g = cols_at_size.setdefault(s, [0, 0])
-            g[0] += 1                      # every opened column is sampled at z
-            if 1 in meta.shifts:
-                g[1] += 1                  # prefix-sum columns also at z - g
+            size_shifts.setdefault(meta.log_size + blow, []).append(meta.shifts)
 
-    q_shapes = set()
-    for s, (n_z, n_zg) in cols_at_size.items():
-        for group_n in (n_z, n_zg):
-            off = 0
-            while off < group_n:
-                q_shapes.add((min(quotients._COL_CHUNK, group_n - off), s))
-                off += quotients._COL_CHUNK
-        q_shapes.add(("pgq", s))
+    for s, shift_list in sorted(size_shifts.items(), reverse=True):
+        g0 = tuple(range(len(shift_list)))
+        g1 = tuple(i for i, sh in enumerate(shift_list) if 1 in sh)
+        idx_groups = (g0, g1) if g1 else (g0,)
+        n_w = sum(len(g) for g in idx_groups)
 
-    for item in sorted(q_shapes, key=str):
-
-        def warm_quot(item=item):
-            if item[0] == "pgq":
-                s = item[1]
-                px = _z(1 << s)
-                out = quotients._point_group_quotient(
-                    _z(4, 1 << s), _z(4), _z(4), _z(4), _z(4),
-                    jnp.ones(4, jnp.uint32), px, px)
-            else:
-                c, s = item
-                # includes the eager per-chunk column stack
-                out = quotients._weighted_columns(
-                    jnp.stack([_z(1 << s)] * c), _z(c, 4))
-            out.block_until_ready()
+        def warm_quot(s=s, c=len(shift_list), idx_groups=idx_groups, n_w=n_w):
+            quotients._accumulate_all_jit(
+                tuple(_z(1 << s) for _ in range(c)),
+                jnp.ones((len(idx_groups), 5, 4), jnp.uint32),
+                _z(n_w, 4), _z(1 << s), _z(1 << s), idx_groups,
+            ).block_until_ready()
 
         thunks.append(warm_quot)
 
