@@ -42,6 +42,10 @@ def _add_prove_args(p):
     p.add_argument("--devices", type=int, default=0,
                    help="prove on a mesh of N devices (the reference's "
                         "'parallel' cargo feature analog); 0 = single chip")
+    p.add_argument("--distributed", action="store_true",
+                   help="join the multi-host jax.distributed runtime (pod "
+                        "slice) and prove SPMD over ALL its chips; every "
+                        "host runs this same command")
 
 
 def cmd_prove(args) -> int:
@@ -77,7 +81,12 @@ def cmd_prove(args) -> int:
     config = PcsConfig(log_max_rows=args.log_max_rows, n_queries=args.n_queries,
                        pow_bits=args.pow_bits)
     mesh = None
-    if args.devices:
+    if args.distributed:
+        from .parallel import multihost
+
+        multihost.initialize()
+        mesh = multihost.global_mesh()
+    elif args.devices:
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(args.devices)
@@ -87,6 +96,12 @@ def cmd_prove(args) -> int:
     log.info("Proof generation speed: %.2f kHz", steps / max(proof_time, 1e-9) / 1e3)
     log.info("Execution trace time: %.1f ms; proof time: %.2f s; total: %.2f s",
              trace_time * 1e3, proof_time, trace_time + proof_time)
+
+    if args.distributed:
+        from .parallel import multihost
+
+        if not multihost.is_coordinator():
+            return 0  # proof is identical on every host; host 0 emits it
 
     payload = json.dumps(proof)
     if args.output:

@@ -159,3 +159,16 @@ def test_full_sharded_prove_is_byte_identical(n_devices):
     air.verify_brainfuck(p_single)
     p_mesh = air.prove_brainfuck(m, mesh=make_mesh(n_devices))
     assert json.dumps(p_mesh, sort_keys=True) == json.dumps(p_single, sort_keys=True)
+
+
+def test_multihost_single_process_noop():
+    """multihost.initialize() is a no-op on one host; global_mesh covers all
+    (virtual) devices and drives the same sharded prove path."""
+    import jax
+
+    from stwo_brainfuck_tpu.parallel import multihost
+
+    multihost.initialize()  # no coordinator configured -> no-op
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert multihost.is_coordinator()
