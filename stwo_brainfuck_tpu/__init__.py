@@ -8,6 +8,23 @@ commitments, FRI, and a prove/verify CLI.
 
 import os
 
+import numpy as _np
+
+# This box runs THP defrag=madvise, and numpy madvises MADV_HUGEPAGE on every
+# >=4MB allocation — each 2MB page fault then does synchronous compaction at
+# ~5 MB/s. Measured here: np.ones(256MB) 35-50 s with hugepages, 0.18 s
+# without; the prover's host-side table builds and staging buffers hit this
+# on every fresh mmap. Env var NUMPY_MADVISE_HUGEPAGE only works before
+# numpy's first import, so also flip the runtime switch.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:
+    _np._core.multiarray._set_madvise_hugepage(False)
+except Exception:  # pragma: no cover - numpy<2 private API moved
+    try:
+        _np.core.multiarray._set_madvise_hugepage(False)
+    except Exception:
+        pass
+
 import jax
 
 # Persistent compilation cache: the prover's jitted stages (FFT, Blake2s

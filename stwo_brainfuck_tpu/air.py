@@ -229,7 +229,9 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     log.info("Protocol setup")
     trace = machine.trace()
     program = machine.program()
+    log.debug("  trace materialized")
     tabs = tables_mod.all_tables(trace, program)
+    log.debug("  tables built")
 
     claim = {name: int(np.log2(len(next(iter(cols.values())))))
              for name, cols in tabs.items()}
@@ -254,7 +256,9 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     for comp in comps:
         for col in comp.columns:
             main_cols.append((comp.log_size, dev_tabs[comp.name][col]))
+    log.debug("  main uploads issued")
     tree1 = TreeProver(main_cols, config, channel, ops=ops)
+    log.debug("  main tree committed")
 
     log.info("Phase 2: interaction trace")
     elements = draw_elements(channel)
@@ -406,8 +410,8 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
 
 def sampling_plan(layout: SystemLayout) -> Dict[tuple, list]:
     """(trace log, shift) -> [(tree, column, point index)] in walk order.
-    Shared by the prover's fused sampling executable and warmup (which must
-    reproduce the exact static group structure to precompile it)."""
+    Shared by the prover's sampling dispatch and warmup (which must reproduce
+    the group (C, N) shapes to precompile the tensor-product kernels)."""
     groups: Dict[tuple, list] = {}
     for ti, metas in enumerate(layout.trees):
         for ci, meta in enumerate(metas):
@@ -416,43 +420,25 @@ def sampling_plan(layout: SystemLayout) -> Dict[tuple, list]:
     return groups
 
 
-@partial(jax.jit, static_argnames=("logs",))
-def _sample_all_jit(mats_t: tuple, factors_t: tuple, logs: tuple):
-    """ALL OODS sampling matvecs in ONE executable: per group, stack the
-    member coefficient rows, build the secure basis from the point's per-bit
-    factors, and reduce. One dispatch + one host pull for the whole mask."""
-    from .core import poly, qm31
-
-    outs = []
-    for mats, factors, lg in zip(mats_t, factors_t, logs):
-        mat = jnp.stack(mats)
-        basis = qm31.one((1,))
-        for k in range(lg):
-            fv = factors[k].reshape(4, 1)
-            basis = jnp.concatenate([basis, qm31.mul(basis, fv)], axis=1)
-        outs.append(poly._dot_basis(mat, basis))
-    return tuple(outs)
-
-
 def _sample_all_trees(trees, layout: SystemLayout, z) -> List[List[List[tuple]]]:
     """OODS-sample every committed column of every tree at its mask points:
-    columns are grouped by (trace log, shift) ACROSS trees and the whole mask
-    runs as one fused executable + one host transfer (each separate dispatch
-    or pull costs a full TPU-relay round trip)."""
+    columns are grouped by (trace log, shift) ACROSS trees; each group is one
+    tiny tensor-product contraction (poly._sample_tensor_jit, shared across
+    groups with equal (C, N)), all dispatches async, and the whole mask comes
+    back in one host transfer. The point's half-bases are built on the host —
+    the previous design built the 2^N basis on-device inside one fused
+    executable, which lowered to 15 MB of HLO and dominated cold compiles."""
     from .core import poly
     from .utils.transfer import pull_all
 
     groups = sampling_plan(layout)
-    mats_t = []
-    factors_t = []
-    logs = []
+    outs = []
     for (log_size, s), members in groups.items():
-        mats_t.append(tuple(trees[ti].records[ci].coeffs
-                            for ti, ci, _ in members))
+        rows = tuple(trees[ti].records[ci].coeffs for ti, ci, _ in members)
         pt = shifted_point(z, log_size, s)
-        factors_t.append(jnp.asarray(poly._point_factors(log_size, pt)))
-        logs.append(log_size)
-    outs = _sample_all_jit(tuple(mats_t), tuple(factors_t), tuple(logs))
+        b_lo, b_hi = poly.half_bases_at_point(log_size, pt)
+        outs.append(poly._sample_tensor_jit(
+            rows, jnp.asarray(b_lo), jnp.asarray(b_hi)))
     host = pull_all(list(outs))
 
     sampled: List[List[List[Optional[tuple]]]] = [

@@ -31,31 +31,70 @@ from . import blake2s
 ColumnsByLog = Dict[int, List[jnp.ndarray]]
 
 
-@partial(jax.jit, static_argnames=("levels",))
-def _commit_tree_jit(mats: tuple, levels: tuple):
-    """The WHOLE mixed-size tree in one executable: mats[i] is the (C, 2^k)
-    column matrix injected at level k = levels[i] (levels descending).
-    Returns ({level: digests}, {level: column-value matrix}) — one dispatch
-    per tree instead of one per level (each eager dispatch is a TPU-relay
-    round trip, and each distinct level shape was a separate cold compile)."""
-    by = dict(zip(levels, mats))
-    layers = {}
-    col_matrix = {}
-    prev = None
-    for k in range(levels[0], -1, -1):
-        mat = by.get(k)
-        if mat is None:
-            prev = blake2s.hash_words(prev.reshape(prev.shape[0] // 2, 16))
-        elif prev is None:
-            msg = mat.T
-            prev = blake2s.hash_words(msg)
-            col_matrix[k] = msg
+# Executable granularity: ONE executable per level-with-columns plus chains
+# of up to _CHAIN_CHUNK digest-only levels, chunk boundaries aligned to
+# multiples of _CHAIN_CHUNK. jax.jit keys executables by input shapes alone,
+# so every tree in a proof (preprocessed / main / interaction / composition /
+# all FRI layer trees) SHARES them: the cold path compiles O(max_log) small
+# programs total instead of one giant unrolled program per distinct tree
+# signature (measured on the TPU relay: a fused 2^21 mixed-size tree took
+# 160-350 s to compile, times ~20 signatures; a per-level program takes
+# ~1-3 s and is compiled once).
+
+_CHAIN_CHUNK = 4
+
+
+@jax.jit
+def _leaf_hash_jit(mat: jnp.ndarray):
+    """Deepest level: hash the (C, 2^k) column matrix rows-as-messages.
+    Returns ((2^k, 8) digests, (2^k, C) column-value matrix)."""
+    msg = mat.T
+    return blake2s.hash_words(msg), msg
+
+
+@jax.jit
+def _node_hash_jit(prev: jnp.ndarray, mat: jnp.ndarray):
+    """Level with injected columns: node = H(child0 || child1 || columns).
+    prev: (2^(k+1), 8) child digests; mat: (C, 2^k)."""
+    msg = jnp.concatenate([prev.reshape(mat.shape[1], 16), mat.T], axis=1)
+    return blake2s.hash_words(msg), msg[:, 16:]
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _chain_hash_jit(prev: jnp.ndarray, depth: int):
+    """`depth` digest-only levels: returns the digests of the next `depth`
+    levels up ((2^(k-1), 8), ..., (2^(k-depth), 8))."""
+    outs = []
+    for _ in range(depth):
+        prev = blake2s.hash_words(prev.reshape(prev.shape[0] // 2, 16))
+        outs.append(prev)
+    return tuple(outs)
+
+
+def level_plan(sig) -> list:
+    """Executable schedule for a tree signature [(level, n_cols), ...]:
+    [("leaf", k, C), ("node", k, C), ("chain", k, depth), ...] where a chain
+    step consumes the digests of level k+1 and emits levels k..k-depth+1.
+    Drives commit(); exposed so warmup can precompile each distinct kernel
+    shape as its own (concurrent) thunk."""
+    by = dict(sig)
+    ks = sorted(by, reverse=True)
+    steps = []
+    k = ks[0]
+    first = True
+    while k >= 0:
+        if k in by:
+            steps.append(("leaf" if first else "node", k, by[k]))
+            first = False
+            k -= 1
         else:
-            msg = jnp.concatenate([prev.reshape(1 << k, 16), mat.T], axis=1)
-            prev = blake2s.hash_words(msg)
-            col_matrix[k] = msg[:, 16:]
-        layers[k] = prev
-    return layers, col_matrix
+            # Chunk boundaries aligned to multiples of _CHAIN_CHUNK so chunk
+            # shapes recur across trees of different heights.
+            nxt = next((l for l in ks if l < k), -1)
+            stop = max(nxt + 1, _CHAIN_CHUNK * (k // _CHAIN_CHUNK))
+            steps.append(("chain", k, k - stop + 1))
+            k = stop - 1
+    return steps
 
 
 @dataclass
@@ -80,7 +119,9 @@ def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
 
     columns_by_log values may be a list of (2^level,) columns or one
     (C, 2^level) matrix (preferred — avoids per-column slicing executables).
-    The whole mixed-size tree is ONE fused executable (_commit_tree_jit)."""
+    Dispatches one small shared executable per level-with-columns and per
+    aligned chunk of digest-only levels (see _CHAIN_CHUNK note above); all
+    dispatches are async, only the 32-byte root pull synchronizes."""
     assert columns_by_log, "empty commitment"
     mats: Dict[int, jnp.ndarray] = {}
     for k, v in columns_by_log.items():
@@ -90,9 +131,22 @@ def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
             mat = jnp.asarray(v, jnp.uint32)
         assert mat.shape[1] == 1 << k, (mat.shape, k)
         mats[k] = mat
-    levels = tuple(sorted(mats, reverse=True))
-    layers, col_matrix = _commit_tree_jit(
-        tuple(mats[k] for k in levels), levels)
+    layers: Dict[int, jnp.ndarray] = {}
+    col_matrix: Dict[int, jnp.ndarray] = {}
+    prev = None
+    for step in level_plan([(k, m.shape[0]) for k, m in mats.items()]):
+        kind, k = step[0], step[1]
+        if kind == "leaf":
+            prev, col_matrix[k] = _leaf_hash_jit(mats[k])
+            layers[k] = prev
+        elif kind == "node":
+            prev, col_matrix[k] = _node_hash_jit(prev, mats[k])
+            layers[k] = prev
+        else:
+            outs = _chain_hash_jit(prev, step[2])
+            for i, d in enumerate(outs):
+                layers[k - i] = d
+            prev = outs[-1]
 
     root = blake2s.digest_to_bytes(np.asarray(layers[0][0]))
     return MerkleTree(root=root, layers=layers,

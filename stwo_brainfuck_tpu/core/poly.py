@@ -37,46 +37,51 @@ from functools import partial
 import jax
 
 
-def _point_factors(log_size: int, point) -> np.ndarray:
-    """Host: the per-bit basis factors [y, x, pi(x), ...] at a QM31 point."""
+def _point_factors(log_size: int, point) -> list:
+    """Host: the per-bit basis factors [y, x, pi(x), ...] at a QM31 point
+    (list of QM31 tuples; bit k of a basis index selects factors[k])."""
     x, y = point
     factors = [y]
     cur = x
     for _ in range(log_size - 1):
         factors.append(cur)
         cur = qm31.h_sub(qm31.h_mul(cur, qm31.h_add(cur, cur)), qm31.ONE)  # 2c^2-1
-    return np.array(factors, np.uint32)  # (log_size, 4)
+    return factors
 
 
-@partial(jax.jit, static_argnames=("log_size",))
-def _basis_from_factors(factors: jnp.ndarray, log_size: int) -> jnp.ndarray:
-    basis = qm31.one((1,))
-    for k in range(log_size):
-        fv = factors[k].reshape(4, 1)
-        basis = jnp.concatenate([basis, qm31.mul(basis, fv)], axis=1)
-    return basis
+def half_bases_at_point(log_size: int, point) -> Tuple[np.ndarray, np.ndarray]:
+    """Tensor-product split of the circle-FFT basis at a QM31 point.
 
+    basis_j(point) = y^{j0} x^{j1} pi(x)^{j2} ... is a product basis, so it
+    factors exactly: basis[j] = b_lo[j % 2^lo] * b_hi[j >> lo] with
+    lo = log_size // 2. Returns host uint32 arrays (4, 2^lo), (4, 2^hi).
+    Computing the two half-bases on the host (<= 2^11 h_mul calls) keeps the
+    device OODS program to two tiny modular contractions instead of a
+    log_size-deep doubling chain per group (the fused all-groups executable
+    lowered to 15 MB of HLO and dominated cold compile latency)."""
+    factors = _point_factors(log_size, point)
+    lo = log_size // 2
 
-def secure_basis_at_point(log_size: int, point) -> jnp.ndarray:
-    """QM31 values of the 2^log_size circle-FFT basis functions at a QM31
-    circle point: basis_j = y^{j0} x^{j1} pi(x)^{j2} ... (device, (4, N))."""
-    return _basis_from_factors(jnp.asarray(_point_factors(log_size, point)), log_size)
+    def build(fs):
+        basis = [qm31.ONE]
+        for f in fs:
+            basis += [qm31.h_mul(b, f) for b in basis]
+        return np.array(basis, np.uint32).T.copy()  # (4, 2^len(fs))
+
+    return build(factors[:lo]), build(factors[lo:])
 
 
 @jax.jit
-def _dot_basis(coeff_matrix: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
-    prods = m31.mul(coeff_matrix[None, :, :], basis[:, None, :])  # (4, C, N)
-    return sum_mod(prods, axis=-1)  # (4, C)
-
-
-def eval_columns_at_point(coeff_matrix: jnp.ndarray, point) -> List[Tuple[int, int, int, int]]:
-    """Evaluate C circle polynomials (M31 coefficient rows, shape (C, N)) at
-    one QM31 circle point. Returns C host QM31 tuples."""
-    n = int(coeff_matrix.shape[-1])
-    log_size = n.bit_length() - 1
-    basis = secure_basis_at_point(log_size, point)  # (4, N)
-    arr = np.asarray(_dot_basis(coeff_matrix, basis))
-    return [tuple(int(arr[k, c]) for k in range(4)) for c in range(arr.shape[1])]
+def _sample_tensor_jit(rows: tuple, b_lo: jnp.ndarray, b_hi: jnp.ndarray):
+    """Evaluate C coefficient rows at one QM31 point via the tensor-product
+    basis split: out[:, c] = sum_hi b_hi * (sum_lo rows[c].(H,L) * b_lo).
+    One small shared executable per (C, N) shape bucket; exact mod-p, so the
+    result is bit-identical to the direct basis dot."""
+    L = b_lo.shape[1]
+    mat = jnp.stack(rows)                                  # (C, N)
+    M = mat.reshape(mat.shape[0], -1, L)                   # (C, H, L)
+    t = sum_mod(m31.mul(M[None], b_lo[:, None, None, :]), axis=-1)  # (4, C, H)
+    return sum_mod(qm31.mul(t, b_hi[:, None, :]), axis=-1)          # (4, C)
 
 
 def vanishing_at_point(log_size: int, point) -> tuple:

@@ -103,7 +103,7 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
 
     # --- FFT shapes (per tree size-group) + whole-tree merkle shapes ------
     fft_shapes = set()       # fused extend: (C, trace log)
-    tree_sigs = set()        # fused _commit_tree_jit signatures
+    tree_sigs = set()        # tree signatures (warm the shared level kernels)
     for ti, g in enumerate(_tree_groups(layout)):
         by_level = {}
         for lg, cnt in g.items():
@@ -142,17 +142,21 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
 
     thunks.append(warm_comp_fft)
 
-    # --- fused OODS sampling executable (exact group structure) -----------
-    def warm_sampling():
-        groups = air.sampling_plan(layout)
-        mats_t = tuple(tuple(_z(1 << lg) for _ in members)
-                       for (lg, _s), members in groups.items())
-        factors_t = tuple(_z(lg, 4) for (lg, _s) in groups)
-        logs = tuple(lg for (lg, _s) in groups)
-        for out in air._sample_all_jit(mats_t, factors_t, logs):
-            out.block_until_ready()
+    # --- OODS sampling tensor kernels (one per distinct (C, N) shape) -----
+    sample_shapes = sorted({(len(members), lg)
+                            for (lg, _s), members
+                            in air.sampling_plan(layout).items()})
+    for cnt, lg in sample_shapes:
 
-    thunks.append(warm_sampling)
+        def warm_sampling(cnt=cnt, lg=lg):
+            from .core import poly
+            lo = lg // 2
+            poly._sample_tensor_jit(
+                tuple(_z(1 << lg) for _ in range(cnt)),
+                _z(4, 1 << lo), _z(4, 1 << (lg - lo)),
+            ).block_until_ready()
+
+        thunks.append(warm_sampling)
 
     # --- FRI: fold shapes, layer-commit merkle shapes ---------------------
     used_sizes = sorted({m.log_size + blow
@@ -196,6 +200,29 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
 
     step = max(1, (1 << max_log) // (2 * config.n_queries))
     fake_queries = sorted({(2 * i + 1) * step for i in range(config.n_queries)})
+
+    # Per-kernel thunks FIRST (one per distinct level-hash shape, so the
+    # thread pool compiles them concurrently); the per-sig commit+decommit
+    # thunks after them are then cache-hit dispatches that warm only the
+    # decommit gather shapes.
+    kernel_steps = set()
+    for sig in tree_sigs:
+        kernel_steps.update(merkle.level_plan(list(sig)))
+
+    for step in sorted(kernel_steps):
+
+        def warm_mk_kernel(step=step):
+            kind, k = step[0], step[1]
+            if kind == "leaf":
+                out, _ = merkle._leaf_hash_jit(_z(step[2], 1 << k))
+            elif kind == "node":
+                out, _ = merkle._node_hash_jit(_z(1 << (k + 1), 8),
+                                               _z(step[2], 1 << k))
+            else:
+                out = merkle._chain_hash_jit(_z(1 << (k + 1), 8), step[2])[-1]
+            out.block_until_ready()
+
+        thunks.append(warm_mk_kernel)
 
     for sig in sorted(tree_sigs):
 
@@ -250,6 +277,15 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
             ch._pow_batch(_z(8), jnp.uint32(0), jnp.uint32(0), jnp.uint32(1))
 
     thunks.append(warm_pow)
+    # Longest compiles first (minimizes the thread-pool makespan): the
+    # Blake2s level kernels and the FFT/quotient programs dominate; the
+    # per-sig merkle walks must come after the kernels they reuse, and the
+    # tensor-product sampling kernels are tiny.
+    prio = {"warm_mk_kernel": 0, "warm_fft": 1, "warm_quot": 2,
+            "warm_is_first": 3, "warm_comp_fft": 4, "warm_folds": 5,
+            "warm_inter": 6, "warm_cons": 7, "warm_sampling": 8,
+            "warm_merkle": 9, "warm_fri_decommit": 10, "warm_pow": 11}
+    thunks.sort(key=lambda t: prio.get(t.__name__, 12))
     return thunks
 
 

@@ -133,3 +133,38 @@ def test_merkle_root_depends_on_all_columns():
     cols[2][0][3] ^= 1
     r2 = merkle.commit(cols).root
     assert r1 != r2
+
+
+def test_level_plan_covers_all_levels():
+    # Every level from the deepest injected level down to 0 must be produced
+    # exactly once, levels-with-columns as leaf/node steps and digest-only
+    # levels inside chains with chunk boundaries aligned to _CHAIN_CHUNK
+    # multiples (so chunk shapes recur across trees of different heights).
+    for sig in ([(6, 3), (4, 2), (2, 1)], [(10, 8)], [(13, 4), (5, 1)],
+                [(21, 96), (18, 16), (17, 8)]):
+        plan = merkle.level_plan(sig)
+        by = dict(sig)
+        produced = []
+        assert plan[0][0] == "leaf" and plan[0][1] == max(by)
+        for kind, k, arg in plan:
+            if kind in ("leaf", "node"):
+                assert arg == by[k]
+                produced.append(k)
+            else:
+                assert kind == "chain"
+                assert k not in by
+                produced.extend(range(k, k - arg, -1))
+                # chain stops at a column level or an aligned boundary
+                stop = k - arg + 1
+                assert stop - 1 in by or stop % merkle._CHAIN_CHUNK == 0
+                assert arg <= merkle._CHAIN_CHUNK
+        assert produced == list(range(max(by), -1, -1))
+
+
+def test_level_plan_chunks_shared_across_heights():
+    # Two trees of different heights with no intermediate columns share the
+    # aligned interior chain shapes (same (depth) for the same k ranges).
+    p1 = {s[1:] for s in merkle.level_plan([(12, 4)]) if s[0] == "chain"}
+    p2 = {s[1:] for s in merkle.level_plan([(16, 4)]) if s[0] == "chain"}
+    shared = p1 & p2
+    assert shared, (p1, p2)
