@@ -37,12 +37,14 @@ from .core.pcs import (
     query_positions_by_level,
     shifted_point,
 )
+from .core.rowref import RowRef
 from .framework.component import (
     LookupElements,
     build_interaction_trace,
     composition_contribution,
     evaluate_constraints_at_point,
 )
+import functools
 from functools import lru_cache, partial
 
 import jax
@@ -92,6 +94,16 @@ def _combine_eval_jit(coeffs_list: tuple, fwd_tw, comp_log: int):
         pad = (1 << comp_log) - coeffs.shape[-1]
         total = m31.add(total, jnp.pad(coeffs, ((0, 0), (0, pad))))
     return fft._evaluate_body(total, fwd_tw, comp_log)
+
+
+@jax.jit
+def _acc_sum_jit(arrs: tuple):
+    """Modular sum of same-size composition contributions in one executable
+    (eager per-pair qm31.add costs 4 compiles + dispatches per pair)."""
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = qm31.add(out, a)
+    return out
 
 
 class ProvingError(Exception):
@@ -251,7 +263,13 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     dev_tabs: Dict[str, Dict[str, jnp.ndarray]] = {}
     for comp in comps:
         mat = jnp.asarray(np.stack([tabs[comp.name][c] for c in comp.columns]))
-        dev_tabs[comp.name] = {c: mat[i] for i, c in enumerate(comp.columns)}
+        if ops is None:
+            # deferred rows: consumer executables slice the uploaded matrix
+            # (eager mat[i] is one lax.slice executable per (shape, row))
+            dev_tabs[comp.name] = {c: RowRef(mat, i)
+                                   for i, c in enumerate(comp.columns)}
+        else:
+            dev_tabs[comp.name] = {c: mat[i] for i, c in enumerate(comp.columns)}
     main_cols: List[Tuple[int, jnp.ndarray]] = []
     for comp in comps:
         for col in comp.columns:
@@ -276,7 +294,8 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
         claimed_futs.append(claimed_dev)
         for q in inter:
             for c in range(4):
-                inter_cols.append((comp.log_size, q[c]))
+                inter_cols.append((comp.log_size,
+                                   RowRef(q, c) if ops is None else q[c]))
     claimed_host = pull_all(claimed_futs)
     iclaim: Dict[str, tuple] = {
         comp.name: tuple(int(v) for v in arr)
@@ -304,12 +323,17 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
         n_inter = comp.relation_count() + 1
         ext_inter = []
         for k in range(n_inter):
-            coords = [tree2.records[t2 + 4 * k + c].extended for c in range(4)]
-            ext_inter.append(jnp.stack(coords))
+            coords = tuple(tree2.records[t2 + 4 * k + c].extended for c in range(4))
+            # single-chip: stack + rotate INSIDE the constraint executable
+            # (each eager stack/take is a separate compile + relay round
+            # trip); sharded: dense arrays (the rotation crosses shards)
+            ext_inter.append(coords if ops is None else jnp.stack(coords))
         t2 += 4 * n_inter
-        s_ext = ext_inter[-1]
         perm = jnp.asarray(rotation_permutation(n, blow, 1))
-        s_prev = jnp.take(s_ext, perm, axis=1)
+        if ops is None:
+            s_prev = (ext_inter[-1], perm)
+        else:
+            s_prev = jnp.take(ext_inter[-1], perm, axis=1)
         isf_ext = tree0.records[tree0_index[n]].extended
         v_inv = jnp.asarray(_vanishing_inv(n, n + blow))
         contribute = ops.composition_contribution if ops else composition_contribution
@@ -318,26 +342,31 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
             elements, alpha_comp, alpha_idx, v_inv,
         )
         lg = n + blow
-        acc[lg] = contrib if lg not in acc else qm31.add(acc[lg], contrib)
+        acc.setdefault(lg, []).append(contrib)
 
     comp_log = layout.composition_log
     if ops is None:
-        # per-size interpolates (hybrid Pallas/XLA dispatch), then ONE fused
+        # per-size contribution sums in one executable each, per-size
+        # interpolates (hybrid Pallas/XLA dispatch), then ONE fused
         # executable for zero-pad + modular add + the top-size evaluate
-        coeffs_list = tuple(fft.interpolate(arr, lg)
-                            for lg, arr in sorted(acc.items()))
+        coeffs_list = tuple(
+            fft.interpolate(arrs[0] if len(arrs) == 1
+                            else _acc_sum_jit(tuple(arrs)), lg)
+            for lg, arrs in sorted(acc.items()))
         comp_evals = _combine_eval_jit(
             coeffs_list, fft._device_twiddles(comp_log)[0], comp_log)
     else:
         comp_coeffs = jnp.zeros((4, 1 << comp_log), jnp.uint32)
-        for lg, arr in acc.items():
+        for lg, arrs in acc.items():
+            arr = functools.reduce(qm31.add, arrs)
             coeffs = ops.interpolate(arr, lg)  # (4, 2^lg)
             pad = (1 << comp_log) - (1 << lg)
             comp_coeffs = m31.add(comp_coeffs,
                                   jnp.pad(coeffs, ((0, 0), (0, pad))))
         comp_evals = ops.evaluate(comp_coeffs, comp_log)
-    tree3 = TreeProver([(comp_log, comp_evals[c]) for c in range(4)], config,
-                       channel, ops=ops)
+    tree3 = TreeProver(
+        [(comp_log, RowRef(comp_evals, c) if ops is None else comp_evals[c])
+         for c in range(4)], config, channel, ops=ops)
 
     trees = [tree0, tree1, tree2, tree3]
 
@@ -387,7 +416,8 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     for tree in trees:
         levels = sorted(tree.column_levels())
         pos = query_positions_by_level(queries, s_max, levels)
-        pending.append(merkle.decommit_async(tree.tree, pos))
+        pending.append(merkle.decommit_async(tree.tree, pos,
+                                             n_queries=config.n_queries))
     decommitments = merkle.finalize_many(pending)
     log.info("  trees decommitted")
     fri.fri_decommit(fri_prover, queries)
@@ -406,6 +436,27 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
         "pow_nonce": nonce,
         "decommitments": [d.to_json() for d in decommitments],
     }
+
+
+def record_rows(layout: SystemLayout) -> List[List[tuple]]:
+    """Per tree, per record: (size-group column count, row index) within the
+    tree's per-size (C, N) matrices — mirrors TreeProver's size grouping.
+    Warmup uses this to reproduce the exact RowRef structures the prove
+    pipeline passes to its executables (jit cache keys include the static
+    row index carried as pytree aux data)."""
+    out: List[List[tuple]] = []
+    for metas in layout.trees:
+        counts: Dict[int, int] = {}
+        for m in metas:
+            counts[m.log_size] = counts.get(m.log_size, 0) + 1
+        pos: Dict[int, int] = {}
+        rows = []
+        for m in metas:
+            j = pos.get(m.log_size, 0)
+            pos[m.log_size] = j + 1
+            rows.append((counts[m.log_size], j))
+        out.append(rows)
+    return out
 
 
 def sampling_plan(layout: SystemLayout) -> Dict[tuple, list]:

@@ -192,22 +192,39 @@ def _evaluate_body(coeffs: jnp.ndarray, fwd_tw, n: int) -> jnp.ndarray:
 _evaluate_jit = partial(jax.jit, static_argnames=("n",))(_evaluate_body)
 
 
+@jax.jit
+def _stack_jit(cols: tuple) -> jnp.ndarray:
+    from .rowref import as_row
+
+    return jnp.stack([as_row(c) for c in cols])
+
+
 @partial(jax.jit, static_argnames=("n", "blow"))
 def _extend_jit(values, inv_tw, fwd_tw_big, n: int, blow: int):
     """Fused interpolate -> zero-pad -> evaluate on the blown-up domain:
     one executable per (batch, size) instead of three plus eager pad glue
-    (each eager op is a compile + a relay round trip cold)."""
+    (each eager op is a compile + a relay round trip cold). `values` may be
+    a tuple of (N,) columns — stacked in-executable (the eager jnp.stack of
+    device-resident columns was a separate compile per group)."""
+    if isinstance(values, tuple):
+        from .rowref import as_row
+
+        values = jnp.stack([as_row(v) for v in values])
     coeffs = _interpolate_body(values, inv_tw, n)
     pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, (1 << (n + blow)) - (1 << n))]
     ext = _evaluate_body(jnp.pad(coeffs, pad), fwd_tw_big, n + blow)
     return coeffs, ext
 
 
-def extend_with_coeffs(values: jnp.ndarray, log_size: int, log_blowup: int):
-    """(coefficients, blown-up evaluation) of a batch of columns, fused."""
+def extend_with_coeffs(values, log_size: int, log_blowup: int):
+    """(coefficients, blown-up evaluation) of a batch of columns, fused.
+    `values`: (C, N) array or tuple of (N,) device columns (stacked inside
+    the executable on the XLA path)."""
     if _use_pallas(log_size) and _use_pallas(log_size + log_blowup):
         from ..ops import fft_pallas
 
+        if isinstance(values, tuple):
+            values = _stack_jit(values)
         coeffs = fft_pallas.interpolate(values, log_size)
         pad = [(0, 0)] * (coeffs.ndim - 1) + [
             (0, (1 << (log_size + log_blowup)) - (1 << log_size))]

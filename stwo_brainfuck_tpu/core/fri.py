@@ -81,6 +81,14 @@ def _fold2_jit(values, itw1, itw2, beta, beta2) -> jnp.ndarray:
     return _fold_jit(_fold_jit(values, itw1, beta), itw2, beta2)
 
 
+@jax.jit
+def _fold_add_jit(values, itw, beta, cur) -> jnp.ndarray:
+    """Circle-fold an injected input and add it to the running accumulator
+    in ONE executable (the eager qm31.add costs 4 extra tiny executables
+    per injection on the cold path)."""
+    return qm31.add(cur, _fold_jit(values, itw, beta))
+
+
 def _fold(values, itw, beta: tuple):
     return _fold_jit(values, jnp.asarray(itw), jnp.asarray(np.array(beta, np.uint32)))
 
@@ -181,6 +189,10 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
 
     def inject(cur, m):
         if m + 1 in inputs and m + 1 != max_log:
+            if ops is None:
+                return _fold_add_jit(
+                    inputs[m + 1], _dev_itw("c", m + 1),
+                    jnp.asarray(np.array(beta0, np.uint32)), cur)
             return qm31.add(cur, fold_c(inputs[m + 1], beta0, m + 1))
         return cur
 
@@ -227,6 +239,13 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
     )
 
 
+@jax.jit
+def _gather_vals_jit(mats: tuple, idxs: tuple):
+    """All FRI layers' query-value gathers in ONE executable (eager per-layer
+    jnp.take costs a compile + relay round trip each on the cold path)."""
+    return tuple(jnp.take(m, i, axis=1) for m, i in zip(mats, idxs))
+
+
 def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
     """Decommit each layer at the query fold positions (pairs), filling
     proof.layer_decommitments / layer_values. queries are positions in the
@@ -234,14 +253,21 @@ def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
     from ..utils.transfer import pull_all
 
     pending = []
-    val_futs = []
+    val_mats = []
+    val_idxs = []
+    n_q = len(queries)
     for tree, evals, m in zip(prover.layers, prover.layer_evals, prover.layer_levels):
         positions = sorted({((q >> (prover.max_log - m)) & ~3) + j
                             for q in queries for j in range(4)})
-        dec = merkle.decommit_async(tree, positions)
-        idx, _n = merkle._padded_idx(positions)  # pow2 gather shapes
-        val_futs.append(jnp.take(evals, idx, axis=1))
+        dec = merkle.decommit_async(tree, positions, n_queries=n_q)
+        # gather shape pinned by n_q (positions <= 4*n_q), not the draw
+        bound = min(1 << m, 1 << max(0, 4 * n_q - 1).bit_length())
+        idx, _n = merkle._padded_idx(positions, bound)
+        val_mats.append(evals)
+        val_idxs.append(idx)
         pending.append((positions, dec))
+    # every layer's value gather in one executable
+    val_futs = list(_gather_vals_jit(tuple(val_mats), tuple(val_idxs)))
     # one host transfer for all layers' decommitments and values
     decs = merkle.finalize_many([d for _, d in pending])
     vals_host = pull_all(val_futs)

@@ -247,25 +247,57 @@ def finalize_many(pendings: Sequence["PendingDecommitment"]) -> List[MerkleDecom
     return out
 
 
-def _padded_idx(positions) -> Tuple[jnp.ndarray, int]:
-    """Index array padded to the next power of two (gather shapes shared)."""
+def _padded_idx(positions, bound: int | None = None) -> Tuple[jnp.ndarray, int]:
+    """Index array padded to the next power of two (gather shapes shared).
+    `bound` pins the padded size to a config-derived value (still >= the
+    real count) so the gather shapes do not depend on the random query draw
+    at all — warmup can then precompile the exact executables. Padding
+    repeats row 0; entries carry the real count."""
     n = len(positions)
     target = 1 << max(0, n - 1).bit_length()
+    if bound is not None:
+        assert n <= bound, (n, bound)
+        target = bound
     arr = np.zeros(target, np.int32)
     arr[:n] = positions
     return jnp.asarray(arr), n
 
 
-def decommit_async(tree: MerkleTree, queries) -> PendingDecommitment:
-    """Issue the decommitment gathers without materializing."""
+@jax.jit
+def _gather_rows_jit(mats: tuple, idxs: tuple):
+    """All of one decommitment's row gathers in ONE executable (keyed by the
+    shape tuple; eager per-level jnp.take was a compile + relay round trip
+    per level on the cold path)."""
+    return tuple(jnp.take(m, i, axis=0) for m, i in zip(mats, idxs))
+
+
+def decommit_async(tree: MerkleTree, queries,
+                   n_queries: int | None = None) -> PendingDecommitment:
+    """Issue the decommitment gathers without materializing.
+
+    n_queries (the config's query count) pins every gather's padded size:
+    each level's needed set is contained in the union of the queries'
+    radix-4 quads projected to that level, so |needed[k]| <= 4*n_queries
+    and |witness[k]| <= 8*n_queries — the executable shapes then depend
+    only on (tree signature, n_queries), never on the drawn positions."""
     max_log = tree.max_log
+    if n_queries is not None:
+        b_col = 1 << max(0, 4 * n_queries - 1).bit_length()
+        b_wit = 2 * b_col
     needed = _needed_positions(queries, max_log)
-    pending_cols: List[tuple] = []
-    pending_wit: List[tuple] = []
+    col_meta: List[tuple] = []
+    wit_meta: List[tuple] = []
+    col_mats: List[jnp.ndarray] = []
+    col_idxs: List[jnp.ndarray] = []
+    wit_mats: List[jnp.ndarray] = []
+    wit_idxs: List[jnp.ndarray] = []
     for k in range(max_log, -1, -1):
         if k in tree.column_matrix:
-            idx, n = _padded_idx(needed[k])
-            pending_cols.append((k, n, jnp.take(tree.column_matrix[k], idx, axis=0)))
+            bound = min(1 << k, b_col) if n_queries is not None else None
+            idx, n = _padded_idx(needed[k], bound)
+            col_meta.append((k, n))
+            col_mats.append(tree.column_matrix[k])
+            col_idxs.append(idx)
         if k < max_log:
             # children of needed[k] at level k+1; provide siblings not needed
             child_needed = set(needed[k + 1])
@@ -275,10 +307,37 @@ def decommit_async(tree: MerkleTree, queries) -> PendingDecommitment:
                 for child in (2 * p, 2 * p + 1)
                 if child not in child_needed
             ]
-            if witness_pos:
-                idx, n = _padded_idx(witness_pos)
-                pending_wit.append((k, n, jnp.take(tree.layers[k + 1], idx, axis=0)))
+            # under a pinned n_queries the gather is issued even when no
+            # witness is needed (n=0): whether a level has witnesses depends
+            # on the drawn positions, and the executable signature must not
+            if witness_pos or n_queries is not None:
+                bound = min(1 << (k + 1), b_wit) if n_queries is not None else None
+                idx, n = _padded_idx(witness_pos, bound)
+                wit_meta.append((k, n))
+                wit_mats.append(tree.layers[k + 1])
+                wit_idxs.append(idx)
+    outs = _gather_rows_jit(tuple(col_mats + wit_mats),
+                            tuple(col_idxs + wit_idxs))
+    nc = len(col_meta)
+    pending_cols = [(k, n, o) for (k, n), o in zip(col_meta, outs[:nc])]
+    pending_wit = [(k, n, o) for (k, n), o in zip(wit_meta, outs[nc:])]
     return PendingDecommitment(pending_cols, pending_wit)
+
+
+def decommit_shapes(sig, n_queries: int) -> List[tuple]:
+    """Future shapes of decommit_async(tree, ..., n_queries=...) for a tree
+    of signature [(level, n_cols), ...], in PendingDecommitment.futures()
+    order (column gathers by level descending, then witness gathers by level
+    descending). Lets warmup precompile the batched pull executable without
+    building the tree."""
+    by = dict(sig)
+    max_log = max(by)
+    b_col = 1 << max(0, 4 * n_queries - 1).bit_length()
+    b_wit = 2 * b_col
+    shapes = [(min(1 << k, b_col), by[k]) for k in sorted(by, reverse=True)]
+    shapes += [(min(1 << (k + 1), b_wit), 8)
+               for k in range(max_log - 1, -1, -1)]
+    return shapes
 
 
 def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:

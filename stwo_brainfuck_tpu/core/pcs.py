@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from . import fft, merkle
 from .circle import point_at_index, secure_point_add, secure_point_from_m31, M31_CIRCLE_LOG_ORDER
+from .rowref import RowRef
 
 
 @dataclass
@@ -46,8 +47,8 @@ class PcsConfig:
 @dataclass
 class ColumnRecord:
     log_size: int                 # trace domain log
-    coeffs: jnp.ndarray           # (2^log,) M31 coefficients
-    extended: jnp.ndarray         # (2^(log+blowup),) evaluation, bit-rev order
+    coeffs: object                # (2^log,) M31 coefficients — array or RowRef
+    extended: object              # (2^(log+blowup),) evaluation — array or RowRef
 
 
 class TreeProver:
@@ -74,6 +75,12 @@ class TreeProver:
             if all(isinstance(v, np.ndarray) for v in vals):
                 # host-side stack -> single upload instead of one per column
                 mat = jnp.asarray(np.stack(vals).astype(np.uint32))
+            elif ops is None:
+                # device-resident columns (or RowRefs): stacked INSIDE the
+                # extend executable (an eager jnp.stack is a separate compile
+                # + relay round trip per size group on the cold path)
+                mat = tuple(v if isinstance(v, RowRef)
+                            else jnp.asarray(v, jnp.uint32) for v in vals)
             else:
                 mat = jnp.stack([jnp.asarray(v, jnp.uint32) for v in vals])
             if ops is None:
@@ -92,8 +99,16 @@ class TreeProver:
         for log_size, _ in columns:
             j = pos[log_size]
             pos[log_size] = j + 1
-            self.records.append(ColumnRecord(
-                log_size, coeffs_all[log_size][j], ext_all[log_size][j]))
+            if ops is None:
+                # deferred rows: consumers slice inside their executables
+                # (an eager mat[j] is one lax.slice executable per row cold
+                # plus a relay dispatch per record warm)
+                self.records.append(ColumnRecord(
+                    log_size, RowRef(coeffs_all[log_size], j),
+                    RowRef(ext_all[log_size], j)))
+            else:
+                self.records.append(ColumnRecord(
+                    log_size, coeffs_all[log_size][j], ext_all[log_size][j]))
         # one (C, N) matrix per level — the whole size group, in record order
         by_level = {lg + config.log_blowup: ext_all[lg] for lg in groups}
         self.tree = commit(by_level)

@@ -76,9 +76,12 @@ def _sample_tensor_jit(rows: tuple, b_lo: jnp.ndarray, b_hi: jnp.ndarray):
     """Evaluate C coefficient rows at one QM31 point via the tensor-product
     basis split: out[:, c] = sum_hi b_hi * (sum_lo rows[c].(H,L) * b_lo).
     One small shared executable per (C, N) shape bucket; exact mod-p, so the
-    result is bit-identical to the direct basis dot."""
+    result is bit-identical to the direct basis dot. `rows` entries may be
+    RowRefs (deferred group-matrix rows, resolved here at trace time)."""
+    from .rowref import as_row
+
     L = b_lo.shape[1]
-    mat = jnp.stack(rows)                                  # (C, N)
+    mat = jnp.stack([as_row(r) for r in rows])             # (C, N)
     M = mat.reshape(mat.shape[0], -1, L)                   # (C, H, L)
     t = sum_mod(m31.mul(M[None], b_lo[:, None, None, :]), axis=-1)  # (4, C, H)
     return sum_mod(qm31.mul(t, b_hi[:, None, :]), axis=-1)          # (4, C)

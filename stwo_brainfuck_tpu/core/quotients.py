@@ -154,13 +154,15 @@ def _accumulate_all_jit(cols: tuple, consts: jnp.ndarray, w: jnp.ndarray,
     stacking, chunked weighted reductions, the per-group quotient, and the
     final accumulation (was ~10 eager dispatches + 6 tiny uploads per size,
     each a TPU-relay round trip)."""
+    from .rowref import as_row
+
     acc = None
     off = 0
     for gi, idxs in enumerate(idx_groups):
         wf = None
         for start in range(0, len(idxs), _COL_CHUNK):
             sel = idxs[start:start + _COL_CHUNK]
-            mat = jnp.stack([cols[ci] for ci in sel])
+            mat = jnp.stack([as_row(cols[ci]) for ci in sel])
             part = _weighted_columns(mat, w[off:off + len(sel)])
             off += len(sel)
             wf = part if wf is None else qm31.add(wf, part)
@@ -204,6 +206,9 @@ def accumulate_quotients(
             jnp.asarray(np.concatenate(w_list)), px, py, tuple(idx_groups))
 
     # multi-device path: per-group sharded kernels (parallel/prove.py)
+    from .rowref import as_row
+
+    columns = [as_row(c) for c in columns]
     weighted = ops.weighted_columns
     point_group = ops.point_group_quotient
     xs, ys = domain_points_storage(log_size)

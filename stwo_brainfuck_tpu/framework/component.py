@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..core import m31, qm31
 from ..core.fft import coset_order_permutation
 from ..core.m31 import P_INT
+from ..core.rowref import as_row
 
 
 # ---------------------------------------------------------------------------
@@ -361,6 +362,7 @@ def _build_interaction_fn(cls, log_size: int):
     @jax.jit
     def fn(main_cols: Dict[str, jnp.ndarray], elements_dev: Dict[str, dict],
            perm: jnp.ndarray):
+        main_cols = {k: as_row(v) for k, v in main_cols.items()}
         n = 1 << log_size
         is_first = jnp.zeros(n, jnp.uint32).at[0].set(1)
         ev = Evaluator(comp, main_cols, [], None, is_first, None,
@@ -424,6 +426,28 @@ def build_interaction_trace(
 _UNION_CACHE: dict = {}
 
 
+def _normalize_inter(main_cols, interaction_cols, s_prev):
+    """Accept main columns as arrays OR RowRefs (deferred group-matrix rows,
+    sliced in-executable), interaction columns as (4, N) arrays OR 4-tuples
+    of (N,) coords/RowRefs (stacked in-executable), and s_prev as a (4, N)
+    array OR a (coords-4-tuple, permutation) pair rotated in-executable.
+    Keeping the slice/stack/rotation inside the jit removes the eager
+    per-component slice/stack/take dispatches from the composition loop —
+    each eager op is a separate executable + TPU-relay round trip cold."""
+    main_cols = {k: as_row(v) for k, v in main_cols.items()}
+
+    def col(c):
+        if isinstance(c, tuple):
+            return jnp.stack([as_row(x) for x in c])
+        return as_row(c)
+
+    interaction_cols = [col(c) for c in interaction_cols]
+    if isinstance(s_prev, tuple):
+        coords, perm = s_prev
+        s_prev = jnp.take(jnp.stack([as_row(x) for x in coords]), perm, axis=1)
+    return main_cols, interaction_cols, as_row(s_prev)
+
+
 def _union_constraints_fn(cls, log_size: int):
     """One executable for a whole UNION GROUP of components (the 6 opcode
     components / the 2 jump components): the union of every member's
@@ -441,6 +465,8 @@ def _union_constraints_fn(cls, log_size: int):
     @jax.jit
     def fn(main_cols, interaction_cols, s_prev, is_first, claimed_sum,
            elements_dev, slot_weights, v_inv, params):
+        main_cols, interaction_cols, s_prev = _normalize_inter(
+            main_cols, interaction_cols, s_prev)
         claimed = jnp.reshape(claimed_sum, (4, 1))
         ev = Evaluator(comp, main_cols, interaction_cols, s_prev, is_first,
                        claimed, elements_dev, host=False)
@@ -482,6 +508,8 @@ def _constraints_fn(cls, log_size: int):
     @jax.jit
     def fn(main_cols, interaction_cols, s_prev, is_first, claimed_sum,
            elements_dev, alpha_powers, v_inv):
+        main_cols, interaction_cols, s_prev = _normalize_inter(
+            main_cols, interaction_cols, s_prev)
         claimed = jnp.reshape(claimed_sum, (4, 1))
         ev = Evaluator(comp, main_cols, interaction_cols, s_prev, is_first,
                        claimed, elements_dev, host=False)

@@ -9,7 +9,16 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+@jax.jit
+def _flatten_jit(arrays: tuple) -> jnp.ndarray:
+    """Flatten+concatenate in ONE executable, keyed by the tuple of input
+    shapes. Eager per-array ravel + one concatenate was 2N+1 separate tiny
+    executables (each a compile + relay round trip on the cold path)."""
+    return jnp.concatenate([jnp.ravel(a) for a in arrays])
 
 
 def pull_all(arrays: Sequence[jnp.ndarray]) -> List[np.ndarray]:
@@ -21,8 +30,7 @@ def pull_all(arrays: Sequence[jnp.ndarray]) -> List[np.ndarray]:
         return [np.asarray(arrays[0])]
     shapes = [tuple(a.shape) for a in arrays]
     sizes = [int(np.prod(s)) if s else 1 for s in shapes]
-    flat = jnp.concatenate([jnp.ravel(a) for a in arrays])
-    host = np.asarray(flat)
+    host = np.asarray(_flatten_jit(tuple(jnp.asarray(a) for a in arrays)))
     out = []
     off = 0
     for shape, size in zip(shapes, sizes):

@@ -24,6 +24,8 @@ from typing import Dict, List, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+from .core.rowref import RowRef
+
 log = logging.getLogger("stwo_brainfuck_tpu")
 
 
@@ -64,6 +66,9 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
                for k, e in els.items()}
 
     # --- interaction kernels (one per interaction_key x size) -------------
+    # main columns arrive as RowRefs into the per-component upload matrix
+    # (rows 0..k-1 — identical aux for every member of an interaction_key
+    # group, so the executables still dedupe)
     seen = set()
     for comp in layout.components:
         cls = type(comp)
@@ -75,56 +80,101 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
         def warm_inter(cls=cls, n=comp.log_size):
             c = cls(n)
             fn = _interaction_fn(cls, n)
-            main = {name: _z(1 << n) for name in c.columns}
+            mat = _z(len(c.columns), 1 << n)
+            main = {name: RowRef(mat, i) for i, name in enumerate(c.columns)}
             q, s, cl = fn(main, els_dev, _device_perm(n))
             s.block_until_ready()
 
         thunks.append(warm_inter)
 
     # --- constraint / union kernels ---------------------------------------
+    # RowRef row indices are static aux data in the jit key, so union-group
+    # members with different start rows compile separately — dedup by
+    # (group, size, start rows), exactly like the prove loop's cache keys.
+    rec_rows = air.record_rows(layout)
     seen = set()
+    t1 = 0
+    t2 = 0
     for comp in layout.components:
         cls = type(comp)
-        key = (getattr(cls, "union_group", None) or cls, comp.log_size)
+        n = comp.log_size
+        n_inter = comp.relation_count() + 1
+        C1, r1 = rec_rows[1][t1]
+        C2, r2 = rec_rows[2][t2]
+        t1 += len(comp.columns)
+        t2 += 4 * n_inter
+        key = (getattr(cls, "union_group", None) or cls, n, r1, r2)
         if key in seen:
             continue
         seen.add(key)
 
-        def warm_cons(comp=comp, n=comp.log_size):
+        def warm_cons(comp=comp, n=n, C1=C1, r1=r1, C2=C2, r2=r2,
+                      n_inter=n_inter):
             ne = 1 << (n + blow)
-            main = {name: _z(ne) for name in comp.columns}
-            inter = [_z(4, ne) for _ in range(comp.relation_count() + 1)]
+            mat1 = _z(C1, ne)
+            mat2 = _z(C2, ne)
+            # RowRef / coords-tuple / (coords, perm) pytree forms — must
+            # match the prove loop exactly (jit keys on pytree structure)
+            main = {name: RowRef(mat1, r1 + i)
+                    for i, name in enumerate(comp.columns)}
+            inter = [tuple(RowRef(mat2, r2 + 4 * k + c) for c in range(4))
+                     for k in range(n_inter)]
             out, _ = composition_contribution(
-                comp, main, inter, _z(4, ne), _z(ne), (0, 0, 0, 0), els,
-                (1, 0, 0, 0), 0, _z(ne))
+                comp, main, inter, (inter[-1], _z(ne)), _z(ne), (0, 0, 0, 0),
+                els, (1, 0, 0, 0), 0, _z(ne))
             out.block_until_ready()
 
         thunks.append(warm_cons)
 
     # --- FFT shapes (per tree size-group) + whole-tree merkle shapes ------
-    fft_shapes = set()       # fused extend: (C, trace log)
+    # tree1's columns arrive as RowRefs into the per-component upload
+    # matrices; tree2's as RowRefs into the (4, N) interaction outputs;
+    # tree3's as RowRefs into the (4, N) composition evaluation — distinct
+    # jit pytree signatures, reproduced via per-tree specs below.
+    fft_shapes = set()       # fused extend: (trace log, member spec)
     tree_sigs = set()        # tree signatures (warm the shared level kernels)
     for ti, g in enumerate(_tree_groups(layout)):
         by_level = {}
         for lg, cnt in g.items():
-            if ti != 0:
-                fft_shapes.add((cnt, lg))
             by_level[lg + blow] = cnt
         tree_sigs.add(tuple(sorted(by_level.items())))
+
+    # tree1: per size, columns grouped from per-component (k, N) matrices
+    by_size1: Dict[int, list] = {}
+    for comp in layout.components:
+        k = len(comp.columns)
+        by_size1.setdefault(comp.log_size, []).extend(
+            (k, i) for i in range(k))
+    for lg, spec in by_size1.items():
+        fft_shapes.add((lg, tuple(spec)))
+    # tree2: per size, RowRefs into consecutive (4, N) interaction outputs
+    by_size2: Dict[int, list] = {}
+    for comp in layout.components:
+        n_inter = comp.relation_count() + 1
+        by_size2.setdefault(comp.log_size, []).extend(
+            (4, c) for _ in range(n_inter) for c in range(4))
+    for lg, spec in by_size2.items():
+        fft_shapes.add((lg, tuple(spec)))
+    # tree3: the 4 coordinate rows of the composition evaluation
+    fft_shapes.add((layout.composition_log, ((4, 0), (4, 1), (4, 2), (4, 3))))
 
     # tree0 (is_first ladder) uses the closed-form kernels, not CFFT
     for lg in layout.ladder:
 
         def warm_is_first(lg=lg):
             fft.is_first_coeffs(lg)
-            fft.is_first_extended(lg, lg + blow).block_until_ready()
+            # [None]: from_records' 1-column level-matrix reshape
+            fft.is_first_extended(lg, lg + blow)[None].block_until_ready()
 
         thunks.append(warm_is_first)
 
-    for cnt, lg in sorted(fft_shapes):
+    for lg, spec in sorted(fft_shapes):
 
-        def warm_fft(cnt=cnt, lg=lg):
-            _, e = fft.extend_with_coeffs(_z(cnt, 1 << lg), lg, blow)
+        def warm_fft(lg=lg, spec=spec):
+            mats = {}
+            cols = tuple(RowRef(mats.setdefault(C, _z(C, 1 << lg)), r)
+                         for C, r in spec)
+            _, e = fft.extend_with_coeffs(cols, lg, blow)
             e.block_until_ready()
 
         thunks.append(warm_fft)
@@ -135,25 +185,46 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
 
     def warm_comp_fft():
         sizes = sorted({n + blow for n in claim.values()})
-        coeffs_list = tuple(fft.interpolate(_z(4, 1 << s), s) for s in sizes)
+        counts = {}
+        for c in layout.components:
+            lg = c.log_size + blow
+            counts[lg] = counts.get(lg, 0) + 1
+        coeffs_list = []
+        for s in sizes:
+            arr = (_z(4, 1 << s) if counts[s] == 1
+                   else air._acc_sum_jit(tuple(_z(4, 1 << s)
+                                               for _ in range(counts[s]))))
+            coeffs_list.append(fft.interpolate(arr, s))
         air._combine_eval_jit(
-            coeffs_list, fft._device_twiddles(comp_log)[0], comp_log,
+            tuple(coeffs_list), fft._device_twiddles(comp_log)[0], comp_log,
         ).block_until_ready()
 
     thunks.append(warm_comp_fft)
 
-    # --- OODS sampling tensor kernels (one per distinct (C, N) shape) -----
-    sample_shapes = sorted({(len(members), lg)
-                            for (lg, _s), members
-                            in air.sampling_plan(layout).items()})
-    for cnt, lg in sample_shapes:
+    # --- OODS sampling tensor kernels (one per distinct group structure) --
+    # members are RowRefs into the per-tree coeff matrices, except tree0's
+    # direct ladder columns; ("a",) marks an array member in the spec
+    sample_specs = set()
+    for (lg, _s), members in air.sampling_plan(layout).items():
+        spec = tuple(("a",) if ti == 0 else rec_rows[ti][ci]
+                     for ti, ci, _pi in members)
+        sample_specs.add((lg, spec))
+    for lg, spec in sorted(sample_specs, key=repr):
 
-        def warm_sampling(cnt=cnt, lg=lg):
+        def warm_sampling(lg=lg, spec=spec):
             from .core import poly
+            mats = {}
+            rows = []
+            for s in spec:
+                if s == ("a",):
+                    rows.append(_z(1 << lg))
+                else:
+                    C, r = s
+                    mats.setdefault(C, _z(C, 1 << lg))
+                    rows.append(RowRef(mats[C], r))
             lo = lg // 2
             poly._sample_tensor_jit(
-                tuple(_z(1 << lg) for _ in range(cnt)),
-                _z(4, 1 << lo), _z(4, 1 << (lg - lo)),
+                tuple(rows), _z(4, 1 << lo), _z(4, 1 << (lg - lo)),
             ).block_until_ready()
 
         thunks.append(warm_sampling)
@@ -186,6 +257,10 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
         one = jnp.ones(4, jnp.uint32)
         for s in sorted(fold_sizes, reverse=True):
             out = fri._fold_jit(_z(4, 1 << s), _z(1 << (s - 1)), one)
+        for s in sorted(input_sizes, reverse=True):
+            if s != max_log:  # fused circle-fold + accumulator add
+                out = fri._fold_add_jit(_z(4, 1 << s), _z(1 << (s - 1)), one,
+                                        _z(4, 1 << (s - 1)))
         for s in sorted(fold2_sizes, reverse=True):
             out = fri._fold2_jit(_z(4, 1 << s), _z(1 << (s - 1)),
                                  _z(1 << (s - 2)), one, one)
@@ -231,39 +306,89 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
             levels = [k for k, _ in sig]
             pos = query_positions_by_level(fake_queries, max_log, levels)
             if pos:
-                merkle.decommit_async(tree, pos).finalize()
+                # issue the gathers (shapes pinned by n_queries) but do NOT
+                # finalize: the prove pulls all trees in ONE flatten, warmed
+                # as an exact signature by warm_pulls below
+                p = merkle.decommit_async(tree, pos,
+                                          n_queries=config.n_queries)
+                p.futures()[-1].block_until_ready()
 
         thunks.append(warm_merkle)
 
     def warm_fri_decommit():
-        # fri_decommit's per-layer evaluation gathers (padded-idx jnp.take)
+        # fri_decommit gathers every layer's values in one executable, with
+        # per-layer decommits whose shapes are pinned by n_queries
+        b = 1 << max(0, 4 * config.n_queries - 1).bit_length()
+        mats = []
+        idxs = []
         for lvl in layer_levels:
             positions = query_positions_by_level(fake_queries, max_log, [lvl])
-            idx, _n = merkle._padded_idx(positions[lvl])
-            jnp.take(_z(4, 1 << lvl), idx, axis=1).block_until_ready()
+            idx, _n = merkle._padded_idx(positions[lvl], min(1 << lvl, b))
+            mats.append(_z(4, 1 << lvl))
+            idxs.append(idx)
+        fri._gather_vals_jit(tuple(mats), tuple(idxs))[-1].block_until_ready()
 
     thunks.append(warm_fri_decommit)
 
+    # --- batched host-pull (flatten) signatures, exactly as the prove issues
+    # them: claimed sums, sampled-value groups, the 4-tree decommit, the FRI
+    # layer decommits + value gathers --------------------------------------
+    tree_order = [tuple(sorted((lg + blow, c) for lg, c in g.items()))
+                  for g in _tree_groups(layout)]
+
+    def warm_pulls():
+        from .utils import transfer
+
+        nq = config.n_queries
+        b = 1 << max(0, 4 * nq - 1).bit_length()
+        transfer._flatten_jit(
+            tuple(_z(4) for _ in layout.components)).block_until_ready()
+        transfer._flatten_jit(
+            tuple(_z(4, len(m)) for m in air.sampling_plan(layout).values())
+        ).block_until_ready()
+        futs = [_z(*s) for sig in tree_order
+                for s in merkle.decommit_shapes(sig, nq)]
+        transfer._flatten_jit(tuple(futs)).block_until_ready()
+        futs = [_z(*s) for m in layer_levels
+                for s in merkle.decommit_shapes(((m, 4),), nq)]
+        transfer._flatten_jit(tuple(futs)).block_until_ready()
+        transfer._flatten_jit(
+            tuple(_z(4, min(1 << m, b)) for m in layer_levels)
+        ).block_until_ready()
+
+    thunks.append(warm_pulls)
+
     # --- quotient kernels: one fused executable per size ------------------
     # mirror prove's claims_by_size walk exactly (group0 = every opened
-    # column at z, group1 = the prefix-sum columns at z - g, in tree order)
-    size_shifts: Dict[int, List[tuple]] = {}
-    for metas in layout.trees:
-        for meta in metas:
+    # column at z, group1 = the prefix-sum columns at z - g, in tree order);
+    # columns are RowRefs into the per-tree ext matrices except tree0's
+    size_members: Dict[int, list] = {}
+    for ti, metas in enumerate(layout.trees):
+        for ci, meta in enumerate(metas):
             if not meta.shifts:
                 continue
-            size_shifts.setdefault(meta.log_size + blow, []).append(meta.shifts)
+            size_members.setdefault(meta.log_size + blow, []).append(
+                (("a",) if ti == 0 else rec_rows[ti][ci], meta.shifts))
 
-    for s, shift_list in sorted(size_shifts.items(), reverse=True):
-        g0 = tuple(range(len(shift_list)))
-        g1 = tuple(i for i, sh in enumerate(shift_list) if 1 in sh)
+    for s, members in sorted(size_members.items(), reverse=True):
+        g0 = tuple(range(len(members)))
+        g1 = tuple(i for i, (_sp, sh) in enumerate(members) if 1 in sh)
         idx_groups = (g0, g1) if g1 else (g0,)
         n_w = sum(len(g) for g in idx_groups)
+        specs = tuple(sp for sp, _sh in members)
 
-        def warm_quot(s=s, c=len(shift_list), idx_groups=idx_groups, n_w=n_w):
+        def warm_quot(s=s, specs=specs, idx_groups=idx_groups, n_w=n_w):
+            mats = {}
+            cols = []
+            for sp in specs:
+                if sp == ("a",):
+                    cols.append(_z(1 << s))
+                else:
+                    C, r = sp
+                    mats.setdefault(C, _z(C, 1 << s))
+                    cols.append(RowRef(mats[C], r))
             quotients._accumulate_all_jit(
-                tuple(_z(1 << s) for _ in range(c)),
-                jnp.ones((len(idx_groups), 5, 4), jnp.uint32),
+                tuple(cols), jnp.ones((len(idx_groups), 5, 4), jnp.uint32),
                 _z(n_w, 4), _z(1 << s), _z(1 << s), idx_groups,
             ).block_until_ready()
 
@@ -298,8 +423,17 @@ def warmup(claim: Dict[str, int], config, max_workers: int = 8) -> int:
     thunks = warmup_thunks(claim, config)
     t0 = time.time()
     errors = []
+    times: List[tuple] = []
+
+    def run(t):
+        ts = time.time()
+        try:
+            t()
+        finally:
+            times.append((time.time() - ts, t.__name__))
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futs = [pool.submit(t) for t in thunks]
+        futs = [pool.submit(run, t) for t in thunks]
         for f in futs:
             exc = f.exception()
             if exc is not None:
@@ -307,5 +441,8 @@ def warmup(claim: Dict[str, int], config, max_workers: int = 8) -> int:
     if errors:
         log.warning("warmup: %d/%d thunks failed (first: %r)",
                     len(errors), len(thunks), errors[0])
+    if log.isEnabledFor(logging.DEBUG):
+        for dt, name in sorted(times, reverse=True)[:40]:
+            log.debug("  warmup %-18s %6.1f s", name, dt)
     log.info("warmup: %d executables in %.1f s", len(thunks), time.time() - t0)
     return len(thunks)
