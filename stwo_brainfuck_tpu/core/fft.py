@@ -319,22 +319,20 @@ def rotation_permutation(log_size: int, log_blowup: int, shift_steps: int) -> np
     perm[j] = storage position of (point at storage j) - shift*g_n; i.e.
     rotated[j] = values[perm[j]].
     """
-    from .circle import CanonicCoset, M31_CIRCLE_LOG_ORDER
-
+    # Closed form: the linear-order point l of the canonic domain of size
+    # 2^n_big has circle index q*(2l+1) with q = 2^(30-n_big), and the trace
+    # step is g_n = 2^(31-log_size) = q*2^(blowup+1) — so subtracting
+    # shift_steps*g_n maps linear l to (l - shift_steps*2^blowup) mod N.
+    # Composing with the linear<->storage permutation gives perm without the
+    # 2^22-entry Python dict the first implementation built (~15 s of host
+    # time per size on the first prove).
     n_big = log_size + log_blowup
-    dom = CanonicCoset(n_big).circle_domain()
-    indices = dom.indices().astype(np.int64)  # natural order
-    rev = bit_reverse_indices(n_big)
-    # storage j holds natural index rev[j]
-    storage_index_value = indices[rev]
-    pos_of_index = {int(v): j for j, v in enumerate(storage_index_value)}
-    g = shift_steps * (1 << (M31_CIRCLE_LOG_ORDER - log_size))
-    mod = 1 << M31_CIRCLE_LOG_ORDER
-    perm = np.array(
-        [pos_of_index[int((v - g) % mod)] for v in storage_index_value],
-        np.uint32,
-    )
-    return perm
+    n = 1 << n_big
+    cop = coset_order_permutation(n_big).astype(np.int64)  # linear -> storage
+    inv = np.empty(n, np.int64)
+    inv[cop] = np.arange(n)
+    delta = shift_steps << log_blowup
+    return cop[(inv - delta) % n].astype(np.uint32)
 
 
 def extend(values: jnp.ndarray, log_blowup: int) -> jnp.ndarray:

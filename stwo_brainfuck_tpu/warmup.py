@@ -402,6 +402,30 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
             ch._pow_batch(_z(8), jnp.uint32(0), jnp.uint32(0), jnp.uint32(1))
 
     thunks.append(warm_pow)
+
+    # --- host-side lru caches + their device copies ------------------------
+    # These are numpy precomputations (batch inverses, domain points, fold
+    # twiddle inverses, rotation permutations) the first prove would
+    # otherwise pay inline (~100 s for fib19 before the closed-form rotation;
+    # still tens of seconds of numpy). They run on a SEPARATE warmup lane:
+    # numpy releases the GIL, so they overlap the device thunks' relay waits.
+    comp_sizes = sorted({c.log_size for c in layout.components})
+    quot_sizes = sorted({m.log_size + blow
+                         for metas in layout.trees for m in metas if m.shifts})
+
+    def host_caches():
+        for n in comp_sizes:
+            air._dev_rotation(n, blow, 1)
+            air._dev_vanishing_inv(n, n + blow)
+        for s in quot_sizes:
+            quotients._dev_points(s)
+        for s in sorted(input_sizes, reverse=True):
+            fri._dev_itw("c", s)
+        for m_ in range(max_log - 1, fri.LOG_LAST_LAYER, -1):
+            fri._dev_itw("l", m_)
+
+    host_caches.__name__ = "warm_host_caches"
+    thunks.append(host_caches)
     # Longest compiles first (minimizes the thread-pool makespan): the
     # Blake2s level kernels and the FFT/quotient programs dominate; the
     # per-sig merkle walks must come after the kernels they reuse, and the
@@ -414,11 +438,19 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
     return thunks
 
 
-def warmup(claim: Dict[str, int], config, max_workers: int = 8) -> int:
-    """Precompile the pipeline's executables concurrently. Returns the
-    number of warm thunks executed. Safe to skip — missing shapes simply
-    compile inline during the prove."""
+def warmup(claim: Dict[str, int], config, max_workers: int = 1) -> int:
+    """Precompile the pipeline's executables. Returns the number of warm
+    thunks executed. Safe to skip — missing shapes simply compile inline
+    during the prove.
+
+    Serial by default: measured on the axon relay with a hot persistent
+    cache, 8 workers took 406 s vs 244 s serial for the same 142 thunks —
+    the relay handles one compile/load RPC at a time and interleaved
+    requests only add contention (STWO_BF_WARMUP_WORKERS overrides)."""
+    import os
     import time
+
+    max_workers = int(os.environ.get("STWO_BF_WARMUP_WORKERS", max_workers))
 
     thunks = warmup_thunks(claim, config)
     t0 = time.time()
@@ -432,12 +464,32 @@ def warmup(claim: Dict[str, int], config, max_workers: int = 8) -> int:
         finally:
             times.append((time.time() - ts, t.__name__))
 
-    with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futs = [pool.submit(run, t) for t in thunks]
-        for f in futs:
-            exc = f.exception()
-            if exc is not None:
-                errors.append(exc)
+    # host-cache thunks run on their own lane: pure numpy (GIL-releasing),
+    # so they overlap the device lane's serialized relay loads
+    host = [t for t in thunks if t.__name__ == "warm_host_caches"]
+    device = [t for t in thunks if t.__name__ != "warm_host_caches"]
+
+    def run_lane(lane):
+        excs = []
+        for t in lane:
+            try:
+                run(t)
+            except Exception as exc:  # noqa: BLE001 - collected and reported
+                excs.append(exc)
+        return excs
+
+    if max_workers <= 1:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(run_lane, lane) for lane in (device, host)]
+            for f in futs:
+                errors.extend(f.result())
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futs = [pool.submit(run, t) for t in thunks]
+            for f in futs:
+                exc = f.exception()
+                if exc is not None:
+                    errors.append(exc)
     if errors:
         log.warning("warmup: %d/%d thunks failed (first: %r)",
                     len(errors), len(thunks), errors[0])

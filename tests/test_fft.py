@@ -162,3 +162,30 @@ def test_is_first_closed_form_matches_cfft():
             np.testing.assert_array_equal(
                 np.asarray(fft.is_first_extended(log_size, log_size + blowup)),
                 ref_ext)
+
+
+def test_rotation_permutation_closed_form():
+    """The closed-form rotation permutation (linear-index shift composed
+    with the linear<->storage maps) must match the definitional version:
+    position of (point at storage j) - shift*g_{log_size}, computed by
+    looking indices up in a dict."""
+    from stwo_brainfuck_tpu.core.circle import CanonicCoset, M31_CIRCLE_LOG_ORDER
+    from stwo_brainfuck_tpu.core.fft import (
+        bit_reverse_indices,
+        rotation_permutation,
+    )
+
+    def definitional(log_size, log_blowup, shift_steps):
+        n_big = log_size + log_blowup
+        dom = CanonicCoset(n_big).circle_domain()
+        sv = dom.indices().astype(np.int64)[bit_reverse_indices(n_big)]
+        pos = {int(v): j for j, v in enumerate(sv)}
+        g = shift_steps * (1 << (M31_CIRCLE_LOG_ORDER - log_size))
+        return np.array(
+            [pos[int((v - g) % (1 << M31_CIRCLE_LOG_ORDER))] for v in sv],
+            np.uint32)
+
+    for log, blow, s in [(3, 0, 1), (3, 1, 1), (4, 1, 0), (5, 2, 1),
+                         (6, 1, 3), (7, 3, 2), (4, 2, 5), (8, 1, 1)]:
+        np.testing.assert_array_equal(
+            rotation_permutation(log, blow, s), definitional(log, blow, s))
