@@ -86,13 +86,21 @@ def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
     }
 
 
-def fft_benchmark(log_n: int = 18, batch: int = 8, iters: int = 20) -> dict:
+def fft_benchmark(log_n: int = 18, batch: int = 8, k_lo: int = 8,
+                  k_hi: int = 32) -> dict:
     """Sustained CFFT throughput in butterflies/s (a size-2^n transform does
     n * 2^(n-1) butterflies) for the staged-XLA and hybrid-Pallas paths, on
-    the dominant fib19 commitment shape (C=8 columns of 2^18)."""
+    the dominant fib19 commitment shape (C=8 columns of 2^18).
+
+    All iterations run inside ONE executable (fori_loop) and completion is
+    forced by pulling a tiny slice; the reported rate is the slope between
+    two loop counts. Through the axon relay, multi-dispatch timing loops
+    measure enqueue rate, not compute (see m31_pallas.throughput_benchmark)."""
     import time
+    from functools import partial
 
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     from stwo_brainfuck_tpu.core import fft
@@ -103,12 +111,11 @@ def fft_benchmark(log_n: int = 18, batch: int = 8, iters: int = 20) -> dict:
         rng.integers(0, (1 << 31) - 1, (batch, 1 << log_n), dtype=np.uint32))
     bf = batch * log_n * (1 << (log_n - 1))
 
+    tw_eval, tw_interp = fft._device_twiddles(log_n)  # concrete, outside jit
     paths = {
         "xla": {
-            "evaluate": lambda v: fft._evaluate_jit(
-                v, fft._device_twiddles(log_n)[0], log_n),
-            "interpolate": lambda v: fft._interpolate_jit(
-                v, fft._device_twiddles(log_n)[1], log_n),
+            "evaluate": lambda v: fft._evaluate_jit(v, tw_eval, log_n),
+            "interpolate": lambda v: fft._interpolate_jit(v, tw_interp, log_n),
         },
     }
     if fft_pallas.available(log_n):
@@ -117,17 +124,26 @@ def fft_benchmark(log_n: int = 18, batch: int = 8, iters: int = 20) -> dict:
             "interpolate": lambda v: fft_pallas.interpolate(v, log_n),
         }
 
+    def timed(fn):
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
     out = {}
     for name, fns in paths.items():
         out[name] = {}
         for op, fn in fns.items():
-            x = fn(vals)
-            x.block_until_ready()  # compile + warm
-            t0 = time.time()
-            for _ in range(iters):
-                x = fn(x)
-            x.block_until_ready()
-            out[name][op] = bf * iters / (time.time() - t0)
+            run = jax.jit(
+                lambda v, k, fn=fn: jax.lax.fori_loop(
+                    0, k, lambda i, x: fn(x), v)[:1, :1],
+                static_argnames=("k",))
+            times = {}
+            for k in (k_lo, k_hi):
+                np.asarray(run(vals, k))  # compile + warm
+                times[k] = min(
+                    timed(lambda: np.asarray(run(vals, k)))
+                    for _ in range(3))
+            out[name][op] = bf * (k_hi - k_lo) / (times[k_hi] - times[k_lo])
     return out
 
 
@@ -147,7 +163,7 @@ def main() -> int:
         # microbenchmark mode: M31 multiply throughput per chip
         from stwo_brainfuck_tpu.ops.m31_pallas import throughput_benchmark
 
-        r = throughput_benchmark(log_n=24, iters=30)
+        r = throughput_benchmark(log_n=24)
         best = max(r.values())
         print(json.dumps({
             "metric": "M31 multiply throughput per chip",

@@ -147,11 +147,18 @@ def mul_chain(a: jnp.ndarray, b: jnp.ndarray, chain: int = 8) -> jnp.ndarray:
     return _pallas_elementwise(_p(_mul_chain_kernel, chain=chain), 2, a, b)
 
 
-def throughput_benchmark(log_n: int = 24, iters: int = 50) -> dict:
-    """Measure sustained M31 multiply throughput (ops/s/chip) for the Pallas
-    and fused-XLA paths: both run an in-register chain of 8 dependent
-    multiplies per element, so HBM traffic is amortized and the VPU is the
-    bottleneck."""
+def throughput_benchmark(log_n: int = 24, k_lo: int = 64,
+                         k_hi: int = 256) -> dict:
+    """Measure sustained M31 multiply throughput (mul/s/chip) for the Pallas
+    and fused-XLA paths.
+
+    All iterations run inside ONE executable (a fori_loop over a chain-of-8
+    body), and completion is forced by pulling a 1-element slice: through the
+    axon relay, multi-dispatch timing loops measure enqueue rate, not compute
+    (block_until_ready returns before the device finishes), which is how
+    round 1 printed a physically impossible 2.7 T mul/s. Reporting the slope
+    between k_lo and k_hi loop counts cancels the fixed dispatch + pull
+    round-trip (~45 ms)."""
     import time
 
     n = 1 << log_n
@@ -161,24 +168,34 @@ def throughput_benchmark(log_n: int = 24, iters: int = 50) -> dict:
 
     chain = 8
 
-    def chained_pallas(a, b):
-        return mul_chain(a, b, chain)
+    def body_pallas(x, b):
+        return mul_chain(x, b, chain)
 
-    @jax.jit
-    def chained_jnp(a, b):
-        x = a
+    def body_jnp(x, b):
         for _ in range(chain):
             x = m31.mul(x, b)
         return x
 
+    @partial(jax.jit, static_argnames=("k", "which"))
+    def run(a, b, k, which):
+        body = body_pallas if which == "pallas" else body_jnp
+        return jax.lax.fori_loop(0, k, lambda i, x: body(x, b), a)[:1]
+
     results = {}
-    for name, fn in (("pallas", chained_pallas), ("jnp", chained_jnp)):
-        out = fn(a, b)
-        out.block_until_ready()  # compile + warm
-        t0 = time.time()
-        for _ in range(iters):
-            out = fn(out, b)
-        out.block_until_ready()
-        dt = time.time() - t0
-        results[name] = chain * iters * n / dt
+    for name in ("pallas", "jnp"):
+        times = {}
+        for k in (k_lo, k_hi):
+            np.asarray(run(a, b, k, name))  # compile + warm
+            times[k] = min(
+                _timed(lambda: np.asarray(run(a, b, k, name)))
+                for _ in range(3))
+        results[name] = chain * (k_hi - k_lo) * n / (times[k_hi] - times[k_lo])
     return results
+
+
+def _timed(fn) -> float:
+    import time
+
+    t0 = time.time()
+    fn()
+    return time.time() - t0
