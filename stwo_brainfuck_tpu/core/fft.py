@@ -107,10 +107,13 @@ def _device_twiddles(n: int):
     arguments — never baked as constants, never re-uploaded per call)."""
     if n not in _DEV_TW_CACHE:
         t = get_twiddles(n)
-        _DEV_TW_CACHE[n] = (
-            tuple(jnp.asarray(x) for x in t.fwd),
-            tuple(jnp.asarray(x) for x in t.inv),
-        )
+        # eager even if first touched inside a jit trace (a traced creation
+        # would cache tracers and leak)
+        with jax.ensure_compile_time_eval():
+            _DEV_TW_CACHE[n] = (
+                tuple(jnp.asarray(x) for x in t.fwd),
+                tuple(jnp.asarray(x) for x in t.inv),
+            )
     return _DEV_TW_CACHE[n]
 
 
@@ -192,13 +195,6 @@ def _evaluate_body(coeffs: jnp.ndarray, fwd_tw, n: int) -> jnp.ndarray:
 _evaluate_jit = partial(jax.jit, static_argnames=("n",))(_evaluate_body)
 
 
-@jax.jit
-def _stack_jit(cols: tuple) -> jnp.ndarray:
-    from .rowref import as_row
-
-    return jnp.stack([as_row(c) for c in cols])
-
-
 @partial(jax.jit, static_argnames=("n", "blow"))
 def _extend_jit(values, inv_tw, fwd_tw_big, n: int, blow: int):
     """Fused interpolate -> zero-pad -> evaluate on the blown-up domain:
@@ -216,23 +212,28 @@ def _extend_jit(values, inv_tw, fwd_tw_big, n: int, blow: int):
     return coeffs, ext
 
 
-def extend_with_coeffs(values, log_size: int, log_blowup: int):
+def extend_with_coeffs(values, log_size: int, log_blowup: int,
+                       aot: bool = False):
     """(coefficients, blown-up evaluation) of a batch of columns, fused.
     `values`: (C, N) array or tuple of (N,) device columns (stacked inside
-    the executable on the XLA path)."""
+    the executable on the XLA path).
+
+    aot=True (warmup): `values` entries may be ShapeDtypeStructs — the
+    executable is loaded via .lower().compile() without executing; returns
+    None."""
     if _use_pallas(log_size) and _use_pallas(log_size + log_blowup):
         from ..ops import fft_pallas
 
-        if isinstance(values, tuple):
-            values = _stack_jit(values)
-        coeffs = fft_pallas.interpolate(values, log_size)
-        pad = [(0, 0)] * (coeffs.ndim - 1) + [
-            (0, (1 << (log_size + log_blowup)) - (1 << log_size))]
-        return coeffs, fft_pallas.evaluate(jnp.pad(coeffs, pad),
-                                           log_size + log_blowup)
-    return _extend_jit(values, _device_twiddles(log_size)[1],
-                       _device_twiddles(log_size + log_blowup)[0],
-                       log_size, log_blowup)
+        return fft_pallas.extend_with_coeffs(values, log_size, log_blowup,
+                                             aot=aot)
+    args = (values, _device_twiddles(log_size)[1],
+            _device_twiddles(log_size + log_blowup)[0])
+    if aot:
+        # statics passed positionally, exactly like the real call below —
+        # keyword statics land in a different jit-cache entry
+        _extend_jit.lower(*args, log_size, log_blowup).compile()
+        return None
+    return _extend_jit(*args, log_size, log_blowup)
 
 
 # ---------------------------------------------------------------------------

@@ -565,11 +565,16 @@ def composition_contribution(
     alpha: tuple,
     alpha_offset: int,
     v_inv: jnp.ndarray,
+    aot: bool = False,
 ) -> Tuple[jnp.ndarray, int]:
     """Sum_i alpha^(offset+i) * C_i / V over the evaluation domain (fused,
     jitted per component class/size/shape — or per UNION GROUP/size for
     components declaring union_group). Returns (QM31 array, next
-    alpha offset)."""
+    alpha offset).
+
+    aot=True (warmup): array args may be ShapeDtypeStructs — the executable
+    is loaded via .lower().compile() (sharing the jit cache with later real
+    dispatches) without executing anything; returns (None, next offset)."""
     cls = type(component)
     els_dev = {k: e.device() for k, e in elements.items()}
     claimed_dev = jnp.asarray(np.array(claimed_sum, np.uint32))
@@ -581,18 +586,23 @@ def composition_contribution(
             weights[slot] = qm31.h_pow(alpha, alpha_offset + local)
         params = {k: jnp.uint32(v % P_INT)
                   for k, v in component.union_params().items()}
-        out = fn(main_cols, interaction_cols, s_prev, is_first, claimed_dev,
-                 els_dev, jnp.asarray(weights), v_inv, params)
+        args = (main_cols, interaction_cols, s_prev, is_first, claimed_dev,
+                els_dev, jnp.asarray(weights), v_inv, params)
+        if aot:
+            fn.lower(*args).compile()
+            return None, alpha_offset + n_cons
+        out = fn(*args)
         return out, alpha_offset + n_cons
     fn, n_cons = _constraints_fn(cls, component.log_size)
     powers = np.empty((n_cons, 4), np.uint32)
     for i in range(n_cons):
         powers[i] = qm31.h_pow(alpha, alpha_offset + i)
-    out = fn(
-        main_cols, interaction_cols, s_prev, is_first,
-        claimed_dev, els_dev,
-        jnp.asarray(powers), v_inv,
-    )
+    args = (main_cols, interaction_cols, s_prev, is_first,
+            claimed_dev, els_dev, jnp.asarray(powers), v_inv)
+    if aot:
+        fn.lower(*args).compile()
+        return None, alpha_offset + n_cons
+    out = fn(*args)
     return out, alpha_offset + n_cons
 
 

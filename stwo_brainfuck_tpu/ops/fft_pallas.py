@@ -1,25 +1,32 @@
-"""Fused circle-FFT Pallas kernels (docs/FFT_FUSION_PLAN.md) — hybrid form.
+"""Fused circle-FFT Pallas kernels — two-pass VMEM-resident form.
 
 The staged XLA path (core/fft.py) materializes the array between every
-butterfly stage: ~n HBM round trips for a size-2^n transform. The hybrid
-here fuses ALL high stages (L >= 7, i.e. n-7 of the n stages) into one
-VMEM-resident Pallas kernel; the 7 low stages (lane-dim strides, which
-Mosaic would relayout heavily) stay on a single fused XLA executable.
-HBM round trips: 2 (kernel) + 7 (XLA lo) instead of n.
+butterfly stage: ~n HBM round trips for a size-2^n transform, measured at
+~8 G butterflies/s (~31% of HBM peak across the strided stages). This module
+runs the WHOLE transform in at most two Pallas passes, each of which keeps
+its block resident in VMEM across all its butterfly stages:
 
-High-stage butterflies on the (A, 128) view (j = a*128 + b, storage is
-bit-reversed; stage L pairs rows at stride s = 2^(L-7), same lane; the
-twiddle j >> (L+1) depends only on the row's block):
+  view x as (A1, A2, 128) with A1*A2*128 = 2^n, A2 <= 2^9:
+  - pass 1 (only when A1 > 1): row stages with stride >= A2 rows. Grid over
+    (a2-chunks, columns); each step loads the (A1, 8, 128) slab of rows
+    {a1*A2 + a2}, does its n1 = log2(A1) butterfly stages as cyclic
+    sublane rolls + selects, and writes it back.
+  - pass 2: row stages with stride < A2 plus the 7 lane stages. Grid over
+    (a1, columns); each step owns a contiguous (A2, 128) slab. Row
+    butterflies roll axis 0; lane butterflies roll axis 1 with per-element
+    expanded twiddles.
 
-    tb    = x * t             (t = per-row pair twiddle, an (A, 1) slice)
-    lower = x + roll(tb, -s)  (a + t*b)
-    upper = roll(x, s) - tb   (a - t*b)
-    x     = where(row & s == 0, lower, upper)
+HBM round trips: 2 reads + 2 writes total (plus ~0.5x for twiddle blocks,
+amortized across the column batch by making the column grid axis innermost —
+Pallas skips re-DMAing a block whose index map output is unchanged between
+consecutive steps) instead of n. Evaluate runs stages high -> low, the
+inverse ascending, with the 1/2^n normalization folded into the final pass.
 
-— one modular multiply per element per stage, two cyclic sublane rolls, one
-select; no reshapes, no concatenates (Mosaic rejects trailing-1 reshapes
-and pays relayouts for collapse/expand forms — the first, fully-fused
-attempt was 10x slower than XLA because of them).
+Per-pair twiddles (t[j] = stage_tw[j >> (L+1)] at element j) are precomputed
+on host per (size, direction): row stages as (A1, A2, n_stages) tables whose
+(..., 1) column slices broadcast across lanes; lane stages fully expanded to
+(A1, 7, A2, 128) — pltpu.repeat is tile-concat, not elementwise, so the
+compact form cannot be expanded in-kernel.
 
 The M31 product is the 16-bit limb decomposition of ops/m31_pallas.py.
 Supported on TPU for MIN_LOG <= log <= MAX_LOG; everything else falls back
@@ -40,9 +47,9 @@ from .m31_pallas import _mul_body, _on_tpu
 
 _LANES = 128
 _LOG_LANES = 7
-# 19+ crashes the TPU compile helper (deeply unrolled big-VMEM kernel);
-# measured wins at 14..18: eval 1.18x, interp 1.26x vs the staged XLA path
-MIN_LOG, MAX_LOG = 14, 18
+_MAX_LOG_A2 = 9     # pass-2 slab: up to (512, 128) = 256 KB in VMEM
+_SUB = 8            # pass-1 a2-chunk (one sublane tile)
+MIN_LOG, MAX_LOG = 11, 22
 
 
 def _addmod(a, b):
@@ -55,113 +62,226 @@ def _submod(a, b):
     return _addmod(a, np.uint32(P_INT) - b)
 
 
-@lru_cache(maxsize=16)
-def _row_twiddles(log_size: int, inverse: bool) -> np.ndarray:
-    """THI_T (A, n_hi): column k = stage L_k = n-1-k's per-row pair twiddle
-    THI_T[a, k] = tw[L_k][a >> (L_k - 6)] (2-D so the kernel slices an
-    (A, 1) column — no reshape)."""
-    n = log_size
-    A = 1 << (n - _LOG_LANES)
+def _plan(n: int):
+    """(A1, A2, n1, n2): row-block split of the (A, 128) view."""
+    a_log = n - _LOG_LANES
+    n2 = min(a_log, _MAX_LOG_A2)
+    n1 = a_log - n2
+    return 1 << n1, 1 << n2, n1, n2
+
+
+@lru_cache(maxsize=24)
+def _tables(n: int, inverse: bool):
+    """Host twiddle tables: (twr1 (A1, A2, n1), twr2 (A1, A2, n2),
+    twl (A1, 7, A2, 128)). Row table column k holds stage L = n-1-k's
+    per-row twiddle stages[L][a >> (L-6)]; twl[:, L] holds stage L's
+    per-element twiddle stages[L][j >> (L+1)]."""
+    A1, A2, n1, n2 = _plan(n)
+    A = A1 * A2
     tw = fft.get_twiddles(n)
-    stages = tw.inv if inverse else tw.fwd
-    n_hi = n - _LOG_LANES
-    out = np.empty((A, n_hi), np.uint32)
+    st = tw.inv if inverse else tw.fwd
     a = np.arange(A)
+    twr = np.empty((A, n - _LOG_LANES), np.uint32)
     for k, L in enumerate(range(n - 1, _LOG_LANES - 1, -1)):
-        out[:, k] = stages[L][a >> (L - _LOG_LANES + 1)]
-    return out
+        twr[:, k] = st[L][a >> (L - (_LOG_LANES - 1))]
+    twr = twr.reshape(A1, A2, n - _LOG_LANES)
+    twr1 = np.ascontiguousarray(twr[:, :, :n1])
+    twr2 = np.ascontiguousarray(twr[:, :, n1:])
+    j = np.arange(A * _LANES, dtype=np.int64)
+    twl = np.empty((A1, _LOG_LANES, A2, _LANES), np.uint32)
+    for L in range(_LOG_LANES):
+        twl[:, L] = st[L][j >> (L + 1)].reshape(A1, A2, _LANES)
+    return twr1, twr2, twl
 
 
-def _make_hi_kernel(n: int, inverse: bool):
+_DEV_TABLES: dict = {}
+
+
+def _dev_tables(n: int, inverse: bool):
+    if (n, inverse) not in _DEV_TABLES:
+        # eager even if first touched inside a jit trace (a traced creation
+        # would cache tracers and leak)
+        with jax.ensure_compile_time_eval():
+            _DEV_TABLES[(n, inverse)] = tuple(
+                jnp.asarray(t) for t in _tables(n, inverse))
+    return _DEV_TABLES[(n, inverse)]
+
+
+def _bf_fwd(x, t, s, sel, axis):
+    size = x.shape[axis]
     from jax.experimental.pallas import tpu as pltpu
 
-    A = 1 << (n - _LOG_LANES)
+    tb = _mul_body(x, t)
+    up = pltpu.roll(tb, size - s, axis=axis)     # pos i -> tb[i + s]
+    down = pltpu.roll(x, s, axis=axis)           # pos i -> x[i - s]
+    return jnp.where(sel, _addmod(x, up), _submod(down, tb))
 
-    def kernel(x_ref, tw_ref, o_ref):
+
+def _bf_inv(x, t, s, sel, axis):
+    size = x.shape[axis]
+    from jax.experimental.pallas import tpu as pltpu
+
+    up = pltpu.roll(x, size - s, axis=axis)
+    down = pltpu.roll(x, s, axis=axis)
+    return jnp.where(sel, _addmod(x, up), _mul_body(_submod(down, x), t))
+
+
+def _scale_const(n: int) -> np.uint32:
+    return np.uint32(pow((P_INT + 1) // 2, n, P_INT))
+
+
+def _make_pass1(n: int, inverse: bool, scale: bool):
+    """Row stages with stride >= A2: slab (A1, SUB, 128), rolls on axis 0."""
+    _, _, n1, n2 = _plan(n)
+
+    def kernel(x_ref, t_ref, o_ref):
         x = x_ref[0]
-        iota = jax.lax.broadcasted_iota(jnp.uint32, (A, _LANES), 0)
+        iota = jax.lax.broadcasted_iota(jnp.uint32, x.shape, 0)
+        stages = range(n - 1, n - 1 - n1, -1)
         if inverse:
-            stage_order = range(_LOG_LANES, n)          # low -> high
-        else:
-            stage_order = range(n - 1, _LOG_LANES - 1, -1)
-        for L in stage_order:
+            stages = reversed(list(stages))
+        for L in stages:
             k = n - 1 - L
-            s = 1 << (L - _LOG_LANES)
-            t = tw_ref[:, k:k + 1]                      # (A, 1)
-            sel = (iota & np.uint32(s)) == 0
-            up = pltpu.roll(x, A - s, axis=0)           # row a -> x[a+s]
-            down = pltpu.roll(x, s, axis=0)             # row a -> x[a-s]
-            if inverse:
-                # lower: a+b ; upper: (a-b)*itw
-                x = jnp.where(sel, _addmod(x, up),
-                              _mul_body(_submod(down, x), t))
-            else:
-                tb = _mul_body(x, t)
-                tb_up = pltpu.roll(tb, A - s, axis=0)
-                x = jnp.where(sel, _addmod(x, tb_up), _submod(down, tb))
+            s1 = 1 << (L - _LOG_LANES - n2)
+            t = t_ref[:, :, k:k + 1]
+            sel = (iota & np.uint32(s1)) == 0
+            x = _bf_inv(x, t, s1, sel, 0) if inverse else \
+                _bf_fwd(x, t, s1, sel, 0)
+        if scale:
+            x = _mul_body(x, _scale_const(n))
         o_ref[0] = x
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
-def _hi_stages_call(values, tw, n: int, inverse: bool, interpret: bool = False):
+def _make_pass2(n: int, inverse: bool, scale: bool):
+    """Row stages with stride < A2 plus lane stages: slab (A2, 128)."""
+    _, A2, n1, n2 = _plan(n)
+
+    def kernel(x_ref, tr_ref, tl_ref, o_ref):
+        x = x_ref[0, 0]
+        riota = jax.lax.broadcasted_iota(jnp.uint32, (A2, _LANES), 0)
+        liota = jax.lax.broadcasted_iota(jnp.uint32, (A2, _LANES), 1)
+
+        def row(L, x):
+            j = (_LOG_LANES + n2 - 1) - L
+            s = 1 << (L - _LOG_LANES)
+            t = tr_ref[0, :, j:j + 1]
+            sel = (riota & np.uint32(s)) == 0
+            return _bf_inv(x, t, s, sel, 0) if inverse else \
+                _bf_fwd(x, t, s, sel, 0)
+
+        def lane(L, x):
+            s = 1 << L
+            t = tl_ref[0, L]
+            sel = (liota & np.uint32(s)) == 0
+            return _bf_inv(x, t, s, sel, 1) if inverse else \
+                _bf_fwd(x, t, s, sel, 1)
+
+        if inverse:
+            for L in range(_LOG_LANES):
+                x = lane(L, x)
+            for L in range(_LOG_LANES, _LOG_LANES + n2):
+                x = row(L, x)
+        else:
+            for L in range(_LOG_LANES + n2 - 1, _LOG_LANES - 1, -1):
+                x = row(L, x)
+            for L in range(_LOG_LANES - 1, -1, -1):
+                x = lane(L, x)
+        if scale:
+            x = _mul_body(x, _scale_const(n))
+        o_ref[0, 0] = x
+
+    return kernel
+
+
+def _pass1_call(x4, twr1, n, inverse, scale, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    A = 1 << (n - _LOG_LANES)
-    C = values.shape[0]
-    kernel = _make_hi_kernel(n, inverse)
-    n_hi = n - _LOG_LANES
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((C, A, _LANES), jnp.uint32),
-        grid=(C,),
+    C, A1, A2, _ = x4.shape
+    n1 = twr1.shape[-1]
+    return pl.pallas_call(
+        _make_pass1(n, inverse, scale),
+        out_shape=jax.ShapeDtypeStruct(x4.shape, jnp.uint32),
+        grid=(A2 // _SUB, C),
         in_specs=[
-            pl.BlockSpec((1, A, _LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, A1, _SUB, _LANES), lambda i, c: (c, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((A, n_hi), lambda i: (0, 0),
+            pl.BlockSpec((A1, _SUB, n1), lambda i, c: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, A, _LANES), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, A1, _SUB, _LANES), lambda i, c: (c, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(values.reshape(C, A, _LANES), tw)
-    return out.reshape(C, 1 << n)
+    )(x4, twr1)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _lo_eval_jit(v, fwd_tw, n: int):
-    """Fused XLA low stages 6..0 of the forward transform."""
-    for L in reversed(range(_LOG_LANES)):
-        blocks = 1 << (n - 1 - L)
-        vv = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
-        a = vv[..., 0, :]
-        b = vv[..., 1, :]
-        from ..core import m31
+def _pass2_call(x4, twr2, twl, n, inverse, scale, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-        tb = m31.mul(b, fwd_tw[L].reshape((blocks, 1)))
-        v = jnp.stack([m31.add(a, tb), m31.sub(a, tb)],
-                      axis=-2).reshape(v.shape[:-1] + (1 << n,))
-    return v
+    C, A1, A2, _ = x4.shape
+    n2 = twr2.shape[-1]
+    return pl.pallas_call(
+        _make_pass2(n, inverse, scale),
+        out_shape=jax.ShapeDtypeStruct(x4.shape, jnp.uint32),
+        grid=(A1, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, A2, _LANES), lambda a, c: (c, a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A2, n2), lambda a, c: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LOG_LANES, A2, _LANES),
+                         lambda a, c: (a, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, A2, _LANES), lambda a, c: (c, a, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x4, twr2, twl)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _lo_interp_jit(v, inv_tw, n: int):
-    """Fused XLA low stages 0..6 of the inverse transform (no final scale —
-    the high-stage kernel's caller applies 1/2^n)."""
-    from ..core import m31
+def _transform_body(mat, twr1, twr2, twl, n: int, inverse: bool,
+                    interpret: bool):
+    C = mat.shape[0]
+    A1, A2, n1, _ = _plan(n)
+    x4 = mat.reshape(C, A1, A2, _LANES)
+    if inverse:
+        x4 = _pass2_call(x4, twr2, twl, n, True, scale=(n1 == 0),
+                         interpret=interpret)
+        if n1:
+            x4 = _pass1_call(x4, twr1, n, True, scale=True,
+                             interpret=interpret)
+    else:
+        if n1:
+            x4 = _pass1_call(x4, twr1, n, False, scale=False,
+                             interpret=interpret)
+        x4 = _pass2_call(x4, twr2, twl, n, False, scale=False,
+                         interpret=interpret)
+    return x4.reshape(C, 1 << n)
 
-    for L in range(_LOG_LANES):
-        blocks = 1 << (n - 1 - L)
-        vv = v.reshape(v.shape[:-1] + (blocks, 2, 1 << L))
-        a = vv[..., 0, :]
-        b = vv[..., 1, :]
-        s = m31.add(a, b)
-        d = m31.mul(m31.sub(a, b), inv_tw[L].reshape((blocks, 1)))
-        v = jnp.stack([s, d], axis=-2).reshape(v.shape[:-1] + (1 << n,))
-    return v
+
+@partial(jax.jit, static_argnames=("n", "inverse", "interpret"))
+def _transform_jit(mat, twr1, twr2, twl, n: int, inverse: bool,
+                   interpret: bool = False):
+    return _transform_body(mat, twr1, twr2, twl, n, inverse, interpret)
+
+
+@partial(jax.jit, static_argnames=("n", "blow", "interpret"))
+def _extend_jit(values, ti, tf, n: int, blow: int, interpret: bool = False):
+    """Fused interpolate -> zero-pad -> evaluate, Pallas passes inline in ONE
+    executable (same contract as fft._extend_jit). `values` may be a tuple
+    of (N,) columns / RowRefs — stacked in-executable."""
+    if isinstance(values, tuple):
+        from ..core.rowref import as_row
+
+        values = jnp.stack([as_row(v) for v in values])
+    coeffs = _transform_body(values, *ti, n, True, interpret)
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, (1 << (n + blow)) - (1 << n))]
+    ext = _transform_body(jnp.pad(coeffs, pad), *tf, n + blow, False,
+                          interpret)
+    return coeffs, ext
 
 
 def _supported(log_size: int) -> bool:
@@ -172,29 +292,39 @@ def available(log_size: int) -> bool:
     return _on_tpu() and _supported(log_size)
 
 
-def evaluate(coeffs: jnp.ndarray, log_size: int, interpret: bool = False) -> jnp.ndarray:
-    """Hybrid pallas/XLA circle-FFT evaluate; same contract as
-    fft.evaluate. coeffs: (C, 2^n) or (2^n,)."""
-    n = log_size
-    squeeze = coeffs.ndim == 1
-    mat = coeffs[None] if squeeze else coeffs
-    tw = jnp.asarray(_row_twiddles(n, False))
-    mid = _hi_stages_call(mat, tw, n, False, interpret)
-    out = _lo_eval_jit(mid, fft._device_twiddles(n)[0], n)
+def _as_mat(values):
+    return (values[None], True) if values.ndim == 1 else (values, False)
+
+
+def evaluate(coeffs: jnp.ndarray, log_size: int,
+             interpret: bool = False) -> jnp.ndarray:
+    """Fused Pallas circle-FFT evaluate; same contract as fft.evaluate.
+    coeffs: (C, 2^n) or (2^n,)."""
+    mat, squeeze = _as_mat(coeffs)
+    out = _transform_jit(mat, *_dev_tables(log_size, False), log_size, False,
+                         interpret)
     return out[0] if squeeze else out
 
 
-def interpolate(values: jnp.ndarray, log_size: int, interpret: bool = False) -> jnp.ndarray:
-    """Hybrid pallas/XLA circle-FFT interpolate; same contract as
+def interpolate(values: jnp.ndarray, log_size: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """Fused Pallas circle-FFT interpolate; same contract as
     fft.interpolate."""
-    from ..core import m31
-
-    n = log_size
-    squeeze = values.ndim == 1
-    mat = values[None] if squeeze else values
-    mid = _lo_interp_jit(mat, fft._device_twiddles(n)[1], n)
-    tw = jnp.asarray(_row_twiddles(n, True))
-    out = _hi_stages_call(mid, tw, n, True, interpret)
-    scale = np.uint32(pow((P_INT + 1) // 2, n, P_INT))
-    out = m31.mul(out, scale)
+    mat, squeeze = _as_mat(values)
+    out = _transform_jit(mat, *_dev_tables(log_size, True), log_size, True,
+                         interpret)
     return out[0] if squeeze else out
+
+
+def extend_with_coeffs(values, log_size: int, log_blowup: int,
+                       aot: bool = False, interpret: bool = False):
+    """(coefficients, blown-up evaluation), one dispatch. `values`: (C, N)
+    array or tuple of (N,) columns / RowRefs. With aot=True, loads the
+    executable via .lower().compile() without executing (values may be
+    ShapeDtypeStructs) and returns None."""
+    ti = _dev_tables(log_size, True)
+    tf = _dev_tables(log_size + log_blowup, False)
+    if aot:
+        _extend_jit.lower(values, ti, tf, log_size, log_blowup).compile()
+        return None
+    return _extend_jit(values, ti, tf, log_size, log_blowup, interpret)

@@ -1,18 +1,25 @@
-"""Parallel executable warm-up.
+"""Executable warm-up: AOT-load the prove pipeline's compiled programs.
 
-Cold proving cost through the axon TPU relay is dominated by XLA compiles,
-paid one executable at a time as the (strictly sequential, Fiat-Shamir-
-ordered) pipeline first reaches each shape — and the relay's remote-compile
-path bypasses jax's persistent cache, so every fresh process pays all of it.
+Cold proving cost through the axon TPU relay is dominated by executable
+DESERIALIZATION: with a hot persistent cache (jax_compilation_cache_dir),
+every fresh process re-ships ~150 serialized executables through the relay
+at ~1 MB/s (measured: 384 cache reads = 243 s of a 244 s serial warmup).
 
 warmup(claim, config) enumerates every executable/shape the prove pipeline
-will need for this claim (interaction kernels, union/constraint kernels,
-batched FFTs, Merkle level hashes and cascades, quotient kernels, FRI folds,
-the PoW batch) and runs each ONCE with zero inputs from a thread pool —
-compilation happens inside the dispatch, the GIL is released while the
-backend compiles, so independent executables compile concurrently instead of
-serializing behind the transcript. The subsequent real prove is then all
-cache hits.
+will need for this claim and loads each one via jit .lower().compile() —
+AOT-compiled executables share the jit dispatch cache with later real calls
+(verified: a dispatch after an AOT load performs zero extra cache reads), so
+nothing is executed and no zero-filled operands are ever materialized. The
+loads run from a thread pool: deserialize RPCs release the GIL and overlap
+(~1.7x measured on big executables). A handful of composite thunks (Merkle
+walks whose decommit gathers need a real tree, is_first's eager reshape)
+still execute on tiny real inputs, after the AOT lane. Host-side numpy
+precomputations (batch inverses, domain points, twiddles, permutations) run
+on their own lane, overlapping the relay traffic.
+
+STWO_BF_WARMUP_AOT=0 restores the execute-on-zeros warmup;
+STWO_BF_WARMUP_WORKERS overrides the AOT pool width (default 8; the old
+execute path measured fastest serial).
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .core.rowref import RowRef
@@ -29,8 +37,12 @@ from .core.rowref import RowRef
 log = logging.getLogger("stwo_brainfuck_tpu")
 
 
-def _z(*shape) -> jnp.ndarray:
+def _zeros(*shape) -> jnp.ndarray:
     return jnp.zeros(shape, jnp.uint32)
+
+
+def _sds(*shape) -> jax.ShapeDtypeStruct:
+    return jax.ShapeDtypeStruct(shape, jnp.uint32)
 
 
 def _tree_groups(layout) -> Dict[int, int]:
@@ -45,9 +57,11 @@ def _tree_groups(layout) -> Dict[int, int]:
     return groups
 
 
-def warmup_thunks(claim: Dict[str, int], config) -> List:
-    """Enumerate zero-input thunks covering the prove pipeline's executables
-    for this claim. Each distinct shape appears exactly once."""
+def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
+    """Enumerate thunks covering the prove pipeline's executables for this
+    claim; each distinct shape appears exactly once. Returns (name, thunk)
+    pairs where name-prefix "exec_" marks thunks that must run on real
+    inputs (everything else AOT-loads without executing when aot=True)."""
     from . import air
     from .components.defs import ELEMENT_SIZES
     from .core import fft, fri, merkle, quotients
@@ -60,7 +74,15 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
 
     layout = air.build_layout(claim, config)
     blow = config.log_blowup
-    thunks = []
+    thunks: List[Tuple[str, object]] = []
+    _z = _sds if aot else _zeros
+
+    def load(fn, *args, **kw):
+        if aot:
+            fn.lower(*args, **kw).compile()
+        else:
+            jax.block_until_ready(fn(*args, **kw))
+
     els = {k: LookupElements.dummy(s) for k, s in ELEMENT_SIZES.items()}
     els_dev = {k: {kk: jnp.asarray(vv) for kk, vv in e.device().items()}
                for k, e in els.items()}
@@ -82,10 +104,9 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
             fn = _interaction_fn(cls, n)
             mat = _z(len(c.columns), 1 << n)
             main = {name: RowRef(mat, i) for i, name in enumerate(c.columns)}
-            q, s, cl = fn(main, els_dev, _device_perm(n))
-            s.block_until_ready()
+            load(fn, main, els_dev, _device_perm(n))
 
-        thunks.append(warm_inter)
+        thunks.append(("inter", warm_inter))
 
     # --- constraint / union kernels ---------------------------------------
     # RowRef row indices are static aux data in the jit key, so union-group
@@ -121,10 +142,11 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
                      for k in range(n_inter)]
             out, _ = composition_contribution(
                 comp, main, inter, (inter[-1], _z(ne)), _z(ne), (0, 0, 0, 0),
-                els, (1, 0, 0, 0), 0, _z(ne))
-            out.block_until_ready()
+                els, (1, 0, 0, 0), 0, _z(ne), aot=aot)
+            if not aot:
+                jax.block_until_ready(out)
 
-        thunks.append(warm_cons)
+        thunks.append(("cons", warm_cons))
 
     # --- FFT shapes (per tree size-group) + whole-tree merkle shapes ------
     # tree1's columns arrive as RowRefs into the per-component upload
@@ -158,7 +180,8 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
     # tree3: the 4 coordinate rows of the composition evaluation
     fft_shapes.add((layout.composition_log, ((4, 0), (4, 1), (4, 2), (4, 3))))
 
-    # tree0 (is_first ladder) uses the closed-form kernels, not CFFT
+    # tree0 (is_first ladder) uses the closed-form kernels, not CFFT; the
+    # [None] reshape is an eager op, so this thunk executes (tiny inputs)
     for lg in layout.ladder:
 
         def warm_is_first(lg=lg):
@@ -166,7 +189,7 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
             # [None]: from_records' 1-column level-matrix reshape
             fft.is_first_extended(lg, lg + blow)[None].block_until_ready()
 
-        thunks.append(warm_is_first)
+        thunks.append(("exec_is_first", warm_is_first))
 
     for lg, spec in sorted(fft_shapes):
 
@@ -174,32 +197,55 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
             mats = {}
             cols = tuple(RowRef(mats.setdefault(C, _z(C, 1 << lg)), r)
                          for C, r in spec)
-            _, e = fft.extend_with_coeffs(cols, lg, blow)
-            e.block_until_ready()
+            out = fft.extend_with_coeffs(cols, lg, blow, aot=aot)
+            if not aot:
+                jax.block_until_ready(out[1])
 
-        thunks.append(warm_fft)
+        thunks.append(("fft", warm_fft))
 
     # composition accumulation: interpolate (4, n+blow) per distinct size,
     # then one evaluate at comp_log
     comp_log = layout.composition_log
+    comp_sizes_blown = sorted({n + blow for n in claim.values()})
+    comp_counts: Dict[int, int] = {}
+    for c in layout.components:
+        lg = c.log_size + blow
+        comp_counts[lg] = comp_counts.get(lg, 0) + 1
 
     def warm_comp_fft():
-        sizes = sorted({n + blow for n in claim.values()})
-        counts = {}
-        for c in layout.components:
-            lg = c.log_size + blow
-            counts[lg] = counts.get(lg, 0) + 1
         coeffs_list = []
-        for s in sizes:
-            arr = (_z(4, 1 << s) if counts[s] == 1
-                   else air._acc_sum_jit(tuple(_z(4, 1 << s)
-                                               for _ in range(counts[s]))))
-            coeffs_list.append(fft.interpolate(arr, s))
-        air._combine_eval_jit(
-            tuple(coeffs_list), fft._device_twiddles(comp_log)[0], comp_log,
-        ).block_until_ready()
+        for s in comp_sizes_blown:
+            cnt = comp_counts[s]
+            if aot:
+                if cnt > 1:
+                    air._acc_sum_jit.lower(
+                        tuple(_sds(4, 1 << s) for _ in range(cnt))).compile()
+                arr = _sds(4, 1 << s)
+                if fft._use_pallas(s):
+                    from .ops import fft_pallas
 
-    thunks.append(warm_comp_fft)
+                    fft_pallas._transform_jit.lower(
+                        arr, *fft_pallas._dev_tables(s, True), s, True,
+                        False).compile()
+                else:
+                    fft._interpolate_jit.lower(
+                        arr, fft._device_twiddles(s)[1], s).compile()
+                coeffs_list.append(_sds(4, 1 << s))
+            else:
+                arr = (_zeros(4, 1 << s) if cnt == 1
+                       else air._acc_sum_jit(tuple(_zeros(4, 1 << s)
+                                                   for _ in range(cnt))))
+                coeffs_list.append(fft.interpolate(arr, s))
+        if aot:
+            air._combine_eval_jit.lower(
+                tuple(coeffs_list), fft._device_twiddles(comp_log)[0],
+                comp_log).compile()
+        else:
+            jax.block_until_ready(air._combine_eval_jit(
+                tuple(coeffs_list), fft._device_twiddles(comp_log)[0],
+                comp_log))
+
+    thunks.append(("comp_fft", warm_comp_fft))
 
     # --- OODS sampling tensor kernels (one per distinct group structure) --
     # members are RowRefs into the per-tree coeff matrices, except tree0's
@@ -223,11 +269,10 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
                     mats.setdefault(C, _z(C, 1 << lg))
                     rows.append(RowRef(mats[C], r))
             lo = lg // 2
-            poly._sample_tensor_jit(
-                tuple(rows), _z(4, 1 << lo), _z(4, 1 << (lg - lo)),
-            ).block_until_ready()
+            load(poly._sample_tensor_jit, tuple(rows),
+                 _z(4, 1 << lo), _z(4, 1 << (lg - lo)))
 
-        thunks.append(warm_sampling)
+        thunks.append(("sampling", warm_sampling))
 
     # --- FRI: fold shapes, layer-commit merkle shapes ---------------------
     used_sizes = sorted({m.log_size + blow
@@ -254,19 +299,18 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
         tree_sigs.add(((lvl, 4),))
 
     def warm_folds():
-        one = jnp.ones(4, jnp.uint32)
+        one = _z(4)
         for s in sorted(fold_sizes, reverse=True):
-            out = fri._fold_jit(_z(4, 1 << s), _z(1 << (s - 1)), one)
+            load(fri._fold_jit, _z(4, 1 << s), _z(1 << (s - 1)), one)
         for s in sorted(input_sizes, reverse=True):
             if s != max_log:  # fused circle-fold + accumulator add
-                out = fri._fold_add_jit(_z(4, 1 << s), _z(1 << (s - 1)), one,
-                                        _z(4, 1 << (s - 1)))
+                load(fri._fold_add_jit, _z(4, 1 << s), _z(1 << (s - 1)), one,
+                     _z(4, 1 << (s - 1)))
         for s in sorted(fold2_sizes, reverse=True):
-            out = fri._fold2_jit(_z(4, 1 << s), _z(1 << (s - 1)),
-                                 _z(1 << (s - 2)), one, one)
-        out.block_until_ready()
+            load(fri._fold2_jit, _z(4, 1 << s), _z(1 << (s - 1)),
+                 _z(1 << (s - 2)), one, one)
 
-    thunks.append(warm_folds)
+    thunks.append(("folds", warm_folds))
 
     # Simulated query set: n_queries distinct spread positions — for typical
     # query counts the padded gather shapes (pow2 buckets) match the real
@@ -277,9 +321,8 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
     fake_queries = sorted({(2 * i + 1) * step for i in range(config.n_queries)})
 
     # Per-kernel thunks FIRST (one per distinct level-hash shape, so the
-    # thread pool compiles them concurrently); the per-sig commit+decommit
-    # thunks after them are then cache-hit dispatches that warm only the
-    # decommit gather shapes.
+    # pool loads them concurrently); the per-sig commit+decommit thunks after
+    # them are then cache-hit dispatches that warm only the decommit gathers.
     kernel_steps = set()
     for sig in tree_sigs:
         kernel_steps.update(merkle.level_plan(list(sig)))
@@ -289,20 +332,21 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
         def warm_mk_kernel(step=step):
             kind, k = step[0], step[1]
             if kind == "leaf":
-                out, _ = merkle._leaf_hash_jit(_z(step[2], 1 << k))
+                load(merkle._leaf_hash_jit, _z(step[2], 1 << k))
             elif kind == "node":
-                out, _ = merkle._node_hash_jit(_z(1 << (k + 1), 8),
-                                               _z(step[2], 1 << k))
+                load(merkle._node_hash_jit, _z(1 << (k + 1), 8),
+                     _z(step[2], 1 << k))
             else:
-                out = merkle._chain_hash_jit(_z(1 << (k + 1), 8), step[2])[-1]
-            out.block_until_ready()
+                load(merkle._chain_hash_jit, _z(1 << (k + 1), 8), step[2])
 
-        thunks.append(warm_mk_kernel)
+        thunks.append(("mk_kernel", warm_mk_kernel))
 
+    # The decommit gathers need a real tree walk (commit dispatches are
+    # cache hits once the level kernels are loaded) — executes on zeros.
     for sig in sorted(tree_sigs):
 
         def warm_merkle(sig=sig):
-            tree = merkle.commit({k: _z(c, 1 << k) for k, c in sig})
+            tree = merkle.commit({k: _zeros(c, 1 << k) for k, c in sig})
             levels = [k for k, _ in sig]
             pos = query_positions_by_level(fake_queries, max_log, levels)
             if pos:
@@ -313,7 +357,7 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
                                           n_queries=config.n_queries)
                 p.futures()[-1].block_until_ready()
 
-        thunks.append(warm_merkle)
+        thunks.append(("exec_merkle", warm_merkle))
 
     def warm_fri_decommit():
         # fri_decommit gathers every layer's values in one executable, with
@@ -326,9 +370,9 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
             idx, _n = merkle._padded_idx(positions[lvl], min(1 << lvl, b))
             mats.append(_z(4, 1 << lvl))
             idxs.append(idx)
-        fri._gather_vals_jit(tuple(mats), tuple(idxs))[-1].block_until_ready()
+        load(fri._gather_vals_jit, tuple(mats), tuple(idxs))
 
-    thunks.append(warm_fri_decommit)
+    thunks.append(("fri_decommit", warm_fri_decommit))
 
     # --- batched host-pull (flatten) signatures, exactly as the prove issues
     # them: claimed sums, sampled-value groups, the 4-tree decommit, the FRI
@@ -341,22 +385,19 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
 
         nq = config.n_queries
         b = 1 << max(0, 4 * nq - 1).bit_length()
-        transfer._flatten_jit(
-            tuple(_z(4) for _ in layout.components)).block_until_ready()
-        transfer._flatten_jit(
-            tuple(_z(4, len(m)) for m in air.sampling_plan(layout).values())
-        ).block_until_ready()
+        load(transfer._flatten_jit, tuple(_z(4) for _ in layout.components))
+        load(transfer._flatten_jit,
+             tuple(_z(4, len(m)) for m in air.sampling_plan(layout).values()))
         futs = [_z(*s) for sig in tree_order
                 for s in merkle.decommit_shapes(sig, nq)]
-        transfer._flatten_jit(tuple(futs)).block_until_ready()
+        load(transfer._flatten_jit, tuple(futs))
         futs = [_z(*s) for m in layer_levels
                 for s in merkle.decommit_shapes(((m, 4),), nq)]
-        transfer._flatten_jit(tuple(futs)).block_until_ready()
-        transfer._flatten_jit(
-            tuple(_z(4, min(1 << m, b)) for m in layer_levels)
-        ).block_until_ready()
+        load(transfer._flatten_jit, tuple(futs))
+        load(transfer._flatten_jit,
+             tuple(_z(4, min(1 << m, b)) for m in layer_levels))
 
-    thunks.append(warm_pulls)
+    thunks.append(("pulls", warm_pulls))
 
     # --- quotient kernels: one fused executable per size ------------------
     # mirror prove's claims_by_size walk exactly (group0 = every opened
@@ -387,28 +428,28 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
                     C, r = sp
                     mats.setdefault(C, _z(C, 1 << s))
                     cols.append(RowRef(mats[C], r))
-            quotients._accumulate_all_jit(
-                tuple(cols), jnp.ones((len(idx_groups), 5, 4), jnp.uint32),
-                _z(n_w, 4), _z(1 << s), _z(1 << s), idx_groups,
-            ).block_until_ready()
+            load(quotients._accumulate_all_jit, tuple(cols),
+                 jnp.ones((len(idx_groups), 5, 4), jnp.uint32),
+                 _z(n_w, 4), _z(1 << s), _z(1 << s), idx_groups)
 
-        thunks.append(warm_quot)
+        thunks.append(("quot", warm_quot))
 
     # --- PoW batch --------------------------------------------------------
     def warm_pow():
         from .core import channel as ch
 
         if config.pow_bits > 13:
-            ch._pow_batch(_z(8), jnp.uint32(0), jnp.uint32(0), jnp.uint32(1))
+            load(ch._pow_batch, _z(8), jnp.uint32(0), jnp.uint32(0),
+                 jnp.uint32(1))
 
-    thunks.append(warm_pow)
+    thunks.append(("pow", warm_pow))
 
     # --- host-side lru caches + their device copies ------------------------
     # These are numpy precomputations (batch inverses, domain points, fold
-    # twiddle inverses, rotation permutations) the first prove would
-    # otherwise pay inline (~100 s for fib19 before the closed-form rotation;
-    # still tens of seconds of numpy). They run on a SEPARATE warmup lane:
-    # numpy releases the GIL, so they overlap the device thunks' relay waits.
+    # twiddle inverses, rotation permutations) plus the device constants the
+    # AOT lane no longer touches (twiddles, interaction permutations) that
+    # the first prove would otherwise pay inline. They run on a SEPARATE
+    # warmup lane: numpy releases the GIL, so they overlap the relay loads.
     comp_sizes = sorted({c.log_size for c in layout.components})
     quot_sizes = sorted({m.log_size + blow
                          for metas in layout.trees for m in metas if m.shifts})
@@ -417,6 +458,10 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
         for n in comp_sizes:
             air._dev_rotation(n, blow, 1)
             air._dev_vanishing_inv(n, n + blow)
+            _device_perm(n)
+            fft._device_twiddles(n)
+            fft._device_twiddles(n + blow)
+        fft._device_twiddles(comp_log)
         for s in quot_sizes:
             quotients._dev_points(s)
         for s in sorted(input_sizes, reverse=True):
@@ -424,77 +469,77 @@ def warmup_thunks(claim: Dict[str, int], config) -> List:
         for m_ in range(max_log - 1, fri.LOG_LAST_LAYER, -1):
             fri._dev_itw("l", m_)
 
-    host_caches.__name__ = "warm_host_caches"
-    thunks.append(host_caches)
-    # Longest compiles first (minimizes the thread-pool makespan): the
-    # Blake2s level kernels and the FFT/quotient programs dominate; the
-    # per-sig merkle walks must come after the kernels they reuse, and the
-    # tensor-product sampling kernels are tiny.
-    prio = {"warm_mk_kernel": 0, "warm_fft": 1, "warm_quot": 2,
-            "warm_is_first": 3, "warm_comp_fft": 4, "warm_folds": 5,
-            "warm_inter": 6, "warm_cons": 7, "warm_sampling": 8,
-            "warm_merkle": 9, "warm_fri_decommit": 10, "warm_pow": 11}
-    thunks.sort(key=lambda t: prio.get(t.__name__, 12))
+    thunks.append(("host_caches", host_caches))
+    # Longest loads first (minimizes the pool makespan): the constraint
+    # unions, quotient and sampling programs dominate deserialize time; the
+    # executing thunks (merkle walks) come after the kernels they reuse.
+    prio = {"cons": 0, "quot": 1, "sampling": 2, "inter": 3, "fft": 4,
+            "mk_kernel": 5, "comp_fft": 6, "folds": 7, "fri_decommit": 8,
+            "pulls": 9, "pow": 10, "exec_fft": 11, "exec_comp_fft": 12,
+            "exec_is_first": 13, "exec_merkle": 14, "host_caches": 15}
+    thunks.sort(key=lambda t: prio.get(t[0], 16))
     return thunks
 
 
-def warmup(claim: Dict[str, int], config, max_workers: int = 1) -> int:
-    """Precompile the pipeline's executables. Returns the number of warm
-    thunks executed. Safe to skip — missing shapes simply compile inline
-    during the prove.
+def warmup(claim: Dict[str, int], config, max_workers: int | None = None) -> int:
+    """Precompile/preload the pipeline's executables. Returns the number of
+    warm thunks executed. Safe to skip — missing shapes simply compile
+    inline during the prove.
 
-    Serial by default: measured on the axon relay with a hot persistent
-    cache, 8 workers took 406 s vs 244 s serial for the same 142 thunks —
-    the relay handles one compile/load RPC at a time and interleaved
-    requests only add contention (STWO_BF_WARMUP_WORKERS overrides)."""
+    Default mode AOT-loads executables concurrently (8 workers) without
+    executing them; STWO_BF_WARMUP_AOT=0 restores the execute-on-zeros
+    warmup (serial by default: on the axon relay 8 workers measured 406 s vs
+    244 s serial — interleaved execute+load RPCs only add contention)."""
     import os
     import time
 
+    aot = os.environ.get("STWO_BF_WARMUP_AOT", "1") != "0"
+    if max_workers is None:
+        max_workers = 8 if aot else 1
     max_workers = int(os.environ.get("STWO_BF_WARMUP_WORKERS", max_workers))
 
-    thunks = warmup_thunks(claim, config)
+    thunks = warmup_thunks(claim, config, aot=aot)
     t0 = time.time()
     errors = []
     times: List[tuple] = []
 
-    def run(t):
+    def run(name, t):
         ts = time.time()
         try:
             t()
+        except Exception as exc:  # noqa: BLE001 - collected and reported
+            errors.append(exc)
         finally:
-            times.append((time.time() - ts, t.__name__))
+            times.append((time.time() - ts, name))
 
-    # host-cache thunks run on their own lane: pure numpy (GIL-releasing),
-    # so they overlap the device lane's serialized relay loads
-    host = [t for t in thunks if t.__name__ == "warm_host_caches"]
-    device = [t for t in thunks if t.__name__ != "warm_host_caches"]
+    host = [(n, t) for n, t in thunks if n == "host_caches"]
+    execs = [(n, t) for n, t in thunks if n.startswith("exec_")]
+    loads = [(n, t) for n, t in thunks
+             if n != "host_caches" and not n.startswith("exec_")]
 
     def run_lane(lane):
-        excs = []
-        for t in lane:
-            try:
-                run(t)
-            except Exception as exc:  # noqa: BLE001 - collected and reported
-                excs.append(exc)
-        return excs
+        for n, t in lane:
+            run(n, t)
 
-    if max_workers <= 1:
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [pool.submit(run_lane, lane) for lane in (device, host)]
+    # host-cache lane (pure numpy, GIL-releasing) overlaps the load lane
+    with ThreadPoolExecutor(max_workers=max_workers + 1) as pool:
+        hf = pool.submit(run_lane, host)
+        if aot and max_workers > 1:
+            futs = [pool.submit(run, n, t) for n, t in loads]
             for f in futs:
-                errors.extend(f.result())
-    else:
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            futs = [pool.submit(run, t) for t in thunks]
-            for f in futs:
-                exc = f.exception()
-                if exc is not None:
-                    errors.append(exc)
+                f.result()
+        else:
+            run_lane(loads)
+        hf.result()
+    # executing thunks last: their kernel dispatches are now cache hits
+    run_lane(execs)
+
     if errors:
         log.warning("warmup: %d/%d thunks failed (first: %r)",
                     len(errors), len(thunks), errors[0])
     if log.isEnabledFor(logging.DEBUG):
         for dt, name in sorted(times, reverse=True)[:40]:
             log.debug("  warmup %-18s %6.1f s", name, dt)
-    log.info("warmup: %d executables in %.1f s", len(thunks), time.time() - t0)
+    log.info("warmup: %d thunks in %.1f s (aot=%s)",
+             len(thunks), time.time() - t0, aot)
     return len(thunks)

@@ -126,10 +126,10 @@ def test_batch_columns():
     np.testing.assert_array_equal(back, vals)
 
 
-def test_pallas_hybrid_fft_bit_exact_interpret():
-    """ops/fft_pallas hybrid kernels vs the staged XLA path (interpret mode
-    runs the Pallas kernel on CPU; real-TPU exactness is asserted by the
-    same comparison in the TPU bench path)."""
+def test_pallas_fft_bit_exact_interpret():
+    """ops/fft_pallas fused two-pass kernels vs the staged XLA path
+    (interpret mode runs the Pallas kernel on CPU; real-TPU exactness is
+    asserted by the same comparison in the TPU bench path)."""
     from stwo_brainfuck_tpu.ops import fft_pallas
 
     rng = np.random.default_rng(3)
@@ -145,6 +145,39 @@ def test_pallas_hybrid_fft_bit_exact_interpret():
         np.testing.assert_array_equal(
             np.asarray(fft_pallas.evaluate(vals[0], log, interpret=True)),
             np.asarray(fft.evaluate(vals[0], log)))
+        # fused extend (stack + interpolate + pad + evaluate, one program)
+        c, e = fft_pallas.extend_with_coeffs(vals, log, 1, interpret=True)
+        c2, e2 = fft._extend_jit(vals, fft._device_twiddles(log)[1],
+                                 fft._device_twiddles(log + 1)[0], log, 1)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(e2))
+
+
+def test_pallas_fft_two_pass_interpret(monkeypatch):
+    """Force the two-pass row split (pass 1 strides >= A2) at a small size by
+    shrinking the pass-2 slab cap; must stay bit-exact vs the XLA path."""
+    from stwo_brainfuck_tpu.ops import fft_pallas
+
+    monkeypatch.setattr(fft_pallas, "_MAX_LOG_A2", 3)
+    fft_pallas._tables.cache_clear()
+    saved = dict(fft_pallas._DEV_TABLES)
+    fft_pallas._DEV_TABLES.clear()
+    try:
+        rng = np.random.default_rng(5)
+        log = 12
+        assert fft_pallas._plan(log)[2] == 2  # n1 = 2 pass-1 stages
+        vals = jnp.asarray(
+            rng.integers(0, P_INT, (2, 1 << log), dtype=np.uint32))
+        np.testing.assert_array_equal(
+            np.asarray(fft_pallas.evaluate(vals, log, interpret=True)),
+            np.asarray(fft.evaluate(vals, log)))
+        np.testing.assert_array_equal(
+            np.asarray(fft_pallas.interpolate(vals, log, interpret=True)),
+            np.asarray(fft.interpolate(vals, log)))
+    finally:
+        fft_pallas._tables.cache_clear()
+        fft_pallas._DEV_TABLES.clear()
+        fft_pallas._DEV_TABLES.update(saved)
 
 
 def test_is_first_closed_form_matches_cfft():
