@@ -117,6 +117,38 @@ def _combine_eval_jit(coeffs_list: tuple, fwd_tw, comp_log: int):
     return fft._evaluate_body(total, fwd_tw, comp_log)
 
 
+@partial(jax.jit, static_argnames=("comp_log",))
+def _combine_eval_pallas_jit(coeffs_list: tuple, tables, comp_log: int):
+    """_combine_eval_jit with the top-size evaluate running as the fused
+    Pallas transform (inline pallas_calls; still one dispatch)."""
+    from .ops import fft_pallas
+
+    total = jnp.zeros((4, 1 << comp_log), jnp.uint32)
+    for coeffs in coeffs_list:
+        pad = (1 << comp_log) - coeffs.shape[-1]
+        total = m31.add(total, jnp.pad(coeffs, ((0, 0), (0, pad))))
+    return fft_pallas._transform_body(total, *tables, comp_log, False, False)
+
+
+def _combine_eval(coeffs_list: tuple, comp_log: int, aot: bool = False):
+    """Dispatch the fused pad+add+evaluate, Pallas where supported. With
+    aot=True, AOT-loads the executable (coeffs_list may hold
+    ShapeDtypeStructs) and returns None."""
+    if fft._use_pallas(comp_log):
+        from .ops import fft_pallas
+
+        args = (coeffs_list, fft_pallas._dev_tables(comp_log, False))
+        if aot:
+            _combine_eval_pallas_jit.lower(*args, comp_log).compile()
+            return None
+        return _combine_eval_pallas_jit(*args, comp_log)
+    args = (coeffs_list, fft._device_twiddles(comp_log)[0])
+    if aot:
+        _combine_eval_jit.lower(*args, comp_log).compile()
+        return None
+    return _combine_eval_jit(*args, comp_log)
+
+
 @jax.jit
 def _acc_sum_jit(arrs: tuple):
     """Modular sum of same-size composition contributions in one executable
@@ -374,8 +406,7 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
             fft.interpolate(arrs[0] if len(arrs) == 1
                             else _acc_sum_jit(tuple(arrs)), lg)
             for lg, arrs in sorted(acc.items()))
-        comp_evals = _combine_eval_jit(
-            coeffs_list, fft._device_twiddles(comp_log)[0], comp_log)
+        comp_evals = _combine_eval(coeffs_list, comp_log)
     else:
         comp_coeffs = jnp.zeros((4, 1 << comp_log), jnp.uint32)
         for lg, arrs in acc.items():

@@ -236,14 +236,9 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
                        else air._acc_sum_jit(tuple(_zeros(4, 1 << s)
                                                    for _ in range(cnt))))
                 coeffs_list.append(fft.interpolate(arr, s))
-        if aot:
-            air._combine_eval_jit.lower(
-                tuple(coeffs_list), fft._device_twiddles(comp_log)[0],
-                comp_log).compile()
-        else:
-            jax.block_until_ready(air._combine_eval_jit(
-                tuple(coeffs_list), fft._device_twiddles(comp_log)[0],
-                comp_log))
+        out = air._combine_eval(tuple(coeffs_list), comp_log, aot=aot)
+        if not aot:
+            jax.block_until_ready(out)
 
     thunks.append(("comp_fft", warm_comp_fft))
 

@@ -1,0 +1,50 @@
+"""AOT warmup completeness: a warmed prove must trigger ZERO further
+compilations or persistent-cache reads — every executable the pipeline
+dispatches was preloaded by warmup() via .lower().compile() with the exact
+jit-cache signature (pytree structure + avals + static args).
+
+This is the invariant that keeps the TPU cold-start bounded: through the
+axon relay each missed signature costs a multi-second compile or a
+~1 MB/s executable deserialize inside the Fiat-Shamir-serialized prove.
+"""
+
+import numpy as np
+
+import jax._src.compiler as comp
+
+from stwo_brainfuck_tpu import air, warmup
+from stwo_brainfuck_tpu.components import tables as T
+from stwo_brainfuck_tpu.core.pcs import PcsConfig
+from stwo_brainfuck_tpu.vm.compiler import compile_program
+from stwo_brainfuck_tpu.vm.machine import create_test_machine
+
+
+def test_aot_warmup_prove_has_zero_residual_compiles(monkeypatch):
+    events = []
+    orig_read = comp._cache_read
+    orig_write = comp._compile_and_write_cache
+
+    def patched_read(module_name, cache_key, *a, **k):
+        events.append(("read", module_name))
+        return orig_read(module_name, cache_key, *a, **k)
+
+    def patched_write(backend, computation, *a, **k):
+        events.append(("compile", str(getattr(computation, "name", "?"))))
+        return orig_write(backend, computation, *a, **k)
+
+    monkeypatch.setattr(comp, "_cache_read", patched_read)
+    monkeypatch.setattr(comp, "_compile_and_write_cache", patched_write)
+
+    m = create_test_machine(compile_program("+++>,<[>+.<-]"), b"\x01")
+    m.execute()
+    tabs = T.all_tables(m.trace(), m.program())
+    claim = {k: int(np.log2(len(next(iter(v.values())))))
+             for k, v in tabs.items()}
+    warmup.warmup(claim, PcsConfig(log_max_rows=0))
+
+    events.clear()
+    proof = air.prove_brainfuck(m)
+    assert events == [], (
+        f"{len(events)} executables compiled/loaded during a warmed prove: "
+        f"{sorted(set(events))[:10]}")
+    air.verify_brainfuck(proof)
