@@ -324,6 +324,35 @@ def decommit_async(tree: MerkleTree, queries,
     return PendingDecommitment(pending_cols, pending_wit)
 
 
+def gather_arg_shapes(sig, n_queries: int,
+                      max_log: int | None = None) -> Tuple[list, list]:
+    """The (mats, idxs) ShapeDtypeStruct args of the _gather_rows_jit call
+    issued by decommit_async(tree, ..., n_queries=...) for a tree of
+    signature [(level, n_cols), ...] — column gathers by level descending,
+    then witness gathers by level descending (mirrors decommit_async's
+    walk). Lets warmup AOT-load the gather executables without building a
+    real tree (the tree walk itself is pure cache-hit dispatches)."""
+    import jax
+
+    by = dict(sig)
+    if max_log is None:
+        max_log = max(by)
+    b_col = 1 << max(0, 4 * n_queries - 1).bit_length()
+    b_wit = 2 * b_col
+    col_mats, col_idxs, wit_mats, wit_idxs = [], [], [], []
+    for k in range(max_log, -1, -1):
+        if k in by:
+            col_mats.append(jax.ShapeDtypeStruct((1 << k, by[k]), jnp.uint32))
+            col_idxs.append(
+                jax.ShapeDtypeStruct((min(1 << k, b_col),), jnp.int32))
+        if k < max_log:
+            wit_mats.append(
+                jax.ShapeDtypeStruct((1 << (k + 1), 8), jnp.uint32))
+            wit_idxs.append(
+                jax.ShapeDtypeStruct((min(1 << (k + 1), b_wit),), jnp.int32))
+    return col_mats + wit_mats, col_idxs + wit_idxs
+
+
 def decommit_shapes(sig, n_queries: int) -> List[tuple]:
     """Future shapes of decommit_async(tree, ..., n_queries=...) for a tree
     of signature [(level, n_cols), ...], in PendingDecommitment.futures()

@@ -16,9 +16,19 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from . import fft, merkle
 from .circle import point_at_index, secure_point_add, secure_point_from_m31, M31_CIRCLE_LOG_ORDER
 from .rowref import RowRef
+
+
+@jax.jit
+def _row_mat_jit(col):
+    """(N,) column -> (1, N) level matrix (an eager col[None] is one
+    broadcast executable per shape on the cold path; this one is shared and
+    AOT-warmable)."""
+    return col[None]
 
 
 @dataclass
@@ -126,7 +136,7 @@ class TreeProver:
         for rec in self.records:
             lvl = rec.log_size + config.log_blowup
             assert lvl not in by_level, "from_records: one column per level"
-            by_level[lvl] = rec.extended[None]
+            by_level[lvl] = _row_mat_jit(rec.extended)
         commit = ops.commit if ops else merkle.commit
         self.tree = commit(by_level)
         return self

@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import m31
-from .m31 import P
+from .m31 import P, _inline_jit
 
 EXTENSION_DEGREE = 4
 
@@ -67,6 +67,7 @@ def _cm_mul(ar, ai, br, bi):
     return rr, ri
 
 
+@_inline_jit
 def mul(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """QM31 product. (A + Bu)(C + Du) = AC + (2+i)BD + (AD + BC)u."""
     a_r, a_i, b_r, b_i = x[0], x[1], x[2], x[3]
@@ -88,6 +89,7 @@ def mul(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([out0, out1, out2, out3])
 
 
+@_inline_jit
 def mul_m31(x: jnp.ndarray, s) -> jnp.ndarray:
     """QM31 × M31 scalar/array (broadcast over the 4 coordinates)."""
     s = jnp.asarray(s, jnp.uint32)
@@ -102,6 +104,7 @@ def _cm_inv(ar, ai):
     return m31.mul(ar, ninv), m31.mul(m31.neg(ai), ninv)
 
 
+@_inline_jit
 def inv(x: jnp.ndarray) -> jnp.ndarray:
     """QM31 inverse: (A + Bu)^-1 = (A - Bu) / (A^2 - (2+i) B^2)."""
     a_r, a_i, b_r, b_i = x[0], x[1], x[2], x[3]
@@ -132,6 +135,7 @@ def pow_const(x: jnp.ndarray, e: int) -> jnp.ndarray:
     return result
 
 
+@_inline_jit
 def dot_m31(coeffs: jnp.ndarray, values) -> jnp.ndarray:
     """Σ_k coeffs[k] · values[k] for QM31 coeffs (shape (K, 4)) and a list of
     K M31 arrays of a common shape — the LogUp `combine` primitive."""

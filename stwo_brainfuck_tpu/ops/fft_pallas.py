@@ -325,6 +325,11 @@ def extend_with_coeffs(values, log_size: int, log_blowup: int,
     ti = _dev_tables(log_size, True)
     tf = _dev_tables(log_size + log_blowup, False)
     if aot:
-        _extend_jit.lower(values, ti, tf, log_size, log_blowup).compile()
+        # statics lowered EXACTLY as the real call passes them (including the
+        # trailing interpret) — a 5-positional lower and a 6-positional call
+        # land in different jit cache entries AND different persistent-cache
+        # keys, so the first prove would fully recompile every extend
+        # (measured: 7 signatures x 2.8 s on the TPU relay)
+        _extend_jit.lower(values, ti, tf, log_size, log_blowup, False).compile()
         return None
     return _extend_jit(values, ti, tf, log_size, log_blowup, interpret)

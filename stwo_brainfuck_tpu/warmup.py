@@ -8,18 +8,21 @@ at ~1 MB/s (measured: 384 cache reads = 243 s of a 244 s serial warmup).
 warmup(claim, config) enumerates every executable/shape the prove pipeline
 will need for this claim and loads each one via jit .lower().compile() —
 AOT-compiled executables share the jit dispatch cache with later real calls
-(verified: a dispatch after an AOT load performs zero extra cache reads), so
-nothing is executed and no zero-filled operands are ever materialized. The
-loads run from a thread pool: deserialize RPCs release the GIL and overlap
-(~1.7x measured on big executables). A handful of composite thunks (Merkle
-walks whose decommit gathers need a real tree, is_first's eager reshape)
-still execute on tiny real inputs, after the AOT lane. Host-side numpy
+when the lowered statics match the call's exactly (verified: a dispatch
+after an AOT load performs zero extra cache reads; a 5-positional lower vs a
+6-positional call recompiles), so nothing is executed and no zero-filled
+operands are ever materialized. With the field ops' inline-jit trace caching
+(core/m31.py), warmup is bound by the relay's executable-load bandwidth
+(~125 MB of serialized executables); load RPCs complete asynchronously, so
+the tail exec_root thunk doubles as a drain fence. Host-side numpy
 precomputations (batch inverses, domain points, twiddles, permutations) run
 on their own lane, overlapping the relay traffic.
 
 STWO_BF_WARMUP_AOT=0 restores the execute-on-zeros warmup;
-STWO_BF_WARMUP_WORKERS overrides the AOT pool width (default 8; the old
-execute path measured fastest serial).
+STWO_BF_WARMUP_WORKERS overrides the AOT pool width (default 1: with
+tracing no longer the bottleneck the relay serializes loads, and fan-out
+only adds contention — measured 204 s serial vs 306 s at 8 workers on a hot
+cache).
 """
 
 from __future__ import annotations
@@ -180,16 +183,19 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
     # tree3: the 4 coordinate rows of the composition evaluation
     fft_shapes.add((layout.composition_log, ((4, 0), (4, 1), (4, 2), (4, 3))))
 
-    # tree0 (is_first ladder) uses the closed-form kernels, not CFFT; the
-    # [None] reshape is an eager op, so this thunk executes (tiny inputs)
+    # tree0 (is_first ladder) uses the closed-form kernels, not CFFT —
+    # AOT-load them per ladder size (coeffs, extension, level-matrix reshape)
+    from .core.pcs import _row_mat_jit
+
     for lg in layout.ladder:
 
         def warm_is_first(lg=lg):
-            fft.is_first_coeffs(lg)
-            # [None]: from_records' 1-column level-matrix reshape
-            fft.is_first_extended(lg, lg + blow)[None].block_until_ready()
+            load(fft._is_first_coeffs_jit, _z(lg), lg)
+            ne = 1 << (lg + blow)
+            load(fft._is_first_ext_jit, _z(ne), _z(ne), _z(lg), lg)
+            load(_row_mat_jit, _z(ne))
 
-        thunks.append(("exec_is_first", warm_is_first))
+        thunks.append(("is_first", warm_is_first))
 
     for lg, spec in sorted(fft_shapes):
 
@@ -336,23 +342,30 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
 
         thunks.append(("mk_kernel", warm_mk_kernel))
 
-    # The decommit gathers need a real tree walk (commit dispatches are
-    # cache hits once the level kernels are loaded) — executes on zeros.
+    # Decommit gather executables, AOT-loaded from the shape enumeration
+    # (the tree walk itself is pure cache-hit dispatches once the level
+    # kernels are loaded — replacing the execute-on-zeros tree builds that
+    # serialized ~54 s of gather loads behind the load lane)
     for sig in sorted(tree_sigs):
+        levels = [k for k, _ in sig]
+        if not query_positions_by_level(fake_queries, max_log, levels):
+            continue  # deeper than any FRI input: never decommitted
 
-        def warm_merkle(sig=sig):
-            tree = merkle.commit({k: _zeros(c, 1 << k) for k, c in sig})
-            levels = [k for k, _ in sig]
-            pos = query_positions_by_level(fake_queries, max_log, levels)
-            if pos:
-                # issue the gathers (shapes pinned by n_queries) but do NOT
-                # finalize: the prove pulls all trees in ONE flatten, warmed
-                # as an exact signature by warm_pulls below
-                p = merkle.decommit_async(tree, pos,
-                                          n_queries=config.n_queries)
-                p.futures()[-1].block_until_ready()
+        def warm_gather(sig=sig):
+            mats, idxs = merkle.gather_arg_shapes(sig, config.n_queries)
+            load(merkle._gather_rows_jit, tuple(mats), tuple(idxs))
 
-        thunks.append(("exec_merkle", warm_merkle))
+        thunks.append(("gather", warm_gather))
+
+    def warm_root_pull():
+        # the root pull (layers[0][0] getitem + host transfer) is the one
+        # eager op in commit(); its executables are shape-independent
+        # ((1, 8) root layer) — warm the getitem directly (building even a
+        # tiny real tree would introduce new leaf/chain kernel shapes, which
+        # measured a 204 s one-time compile through the relay)
+        np.asarray(_zeros(1, 8)[0])
+
+    thunks.append(("exec_root", warm_root_pull))
 
     def warm_fri_decommit():
         # fri_decommit gathers every layer's values in one executable, with
@@ -469,9 +482,9 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
     # unions, quotient and sampling programs dominate deserialize time; the
     # executing thunks (merkle walks) come after the kernels they reuse.
     prio = {"cons": 0, "quot": 1, "sampling": 2, "inter": 3, "fft": 4,
-            "mk_kernel": 5, "comp_fft": 6, "folds": 7, "fri_decommit": 8,
-            "pulls": 9, "pow": 10, "exec_fft": 11, "exec_comp_fft": 12,
-            "exec_is_first": 13, "exec_merkle": 14, "host_caches": 15}
+            "mk_kernel": 5, "gather": 6, "comp_fft": 7, "folds": 8,
+            "fri_decommit": 9, "pulls": 10, "is_first": 11, "pow": 12,
+            "exec_root": 13, "host_caches": 14}
     thunks.sort(key=lambda t: prio.get(t[0], 16))
     return thunks
 
@@ -481,16 +494,16 @@ def warmup(claim: Dict[str, int], config, max_workers: int | None = None) -> int
     warm thunks executed. Safe to skip — missing shapes simply compile
     inline during the prove.
 
-    Default mode AOT-loads executables concurrently (8 workers) without
+    Default mode AOT-loads executables serially (the relay serializes load
+    RPCs; fan-out only adds contention — see module docstring) without
     executing them; STWO_BF_WARMUP_AOT=0 restores the execute-on-zeros
-    warmup (serial by default: on the axon relay 8 workers measured 406 s vs
-    244 s serial — interleaved execute+load RPCs only add contention)."""
+    warmup."""
     import os
     import time
 
     aot = os.environ.get("STWO_BF_WARMUP_AOT", "1") != "0"
     if max_workers is None:
-        max_workers = 8 if aot else 1
+        max_workers = 1
     max_workers = int(os.environ.get("STWO_BF_WARMUP_WORKERS", max_workers))
 
     thunks = warmup_thunks(claim, config, aot=aot)
