@@ -27,8 +27,19 @@ logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
                     stream=sys.stderr)
 
 SUITE = ["loop", "a-bc", "hello1", "hello2", "hello3", "hello4",
-         "hello_kakarot", "collatz", "fib19"]
+         "hello_kakarot", "collatz", "fib19", "big22"]
 INPUTS = {"collatz": b"7\n", "a-bc": b"a"}
+
+
+def program_path(program: str) -> str:
+    """Bundled reference programs, plus repo-local synthetic workloads
+    (programs/big22.bf: 1.32M steps driving 2^22-row memory/instruction/
+    processor tables — the near-capacity throughput regime; the reference
+    suite never leaves the dispatch-latency regime)."""
+    local = os.path.join(os.path.dirname(__file__), "programs", f"{program}.bf")
+    if os.path.exists(local):
+        return local
+    return f"/root/reference/brainfuck_programs/{program}.bf"
 
 
 def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
@@ -36,8 +47,7 @@ def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
     from stwo_brainfuck_tpu.vm.compiler import compile_program
     from stwo_brainfuck_tpu.vm.machine import create_test_machine
 
-    path = f"/root/reference/brainfuck_programs/{program}.bf"
-    with open(path) as f:
+    with open(program_path(program)) as f:
         code = compile_program(f.read())
 
     t0 = time.time()
@@ -60,7 +70,12 @@ def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
     t0 = time.time()
     proof = air.prove_brainfuck(machine)
     first = time.time() - t0
+    t0 = time.time()
     air.verify_brainfuck(proof)
+    first_verify = time.time() - t0
+    t0 = time.time()
+    air.verify_brainfuck(proof)
+    verify_s = time.time() - t0
 
     # Steady-state: best of 3 warm proves. The TPU relay's throughput
     # varies several-fold with ambient load; all runs are reported so the
@@ -83,6 +98,8 @@ def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
         "khz": round(steps / total / 1e3, 2),
         "proof_bytes": len(json.dumps(proof)),
         "verified": True,
+        "first_verify_s": round(first_verify, 2),
+        "verify_s": round(verify_s, 2),
     }
 
 
@@ -232,6 +249,7 @@ def main() -> int:
         "steps": head["steps"],
         "proof_khz": head["khz"],
         "cold_prove_s": round(head["warmup_s"] + head["first_prove_s"], 1),
+        "verify_s": head["verify_s"],
         "proof_bytes": head["proof_bytes"],
         "suite": results,
     }))

@@ -37,6 +37,16 @@ try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # Pallas/Mosaic kernels embed Python source locations in the serialized
+    # kernel payload (an opaque custom-call attribute that the cache key's
+    # strip-debuginfo pass cannot reach), so by default ANY source edit that
+    # shifts a line number invalidates every cached Pallas executable — each
+    # fresh process then recompiles the whole fused-FFT family (~60 s of the
+    # cold start, measured). Zero traceback frames in locations makes the
+    # lowering location-free and the cache keys edit-invariant (verified:
+    # keys identical before/after a line shift in ops/m31_pallas.py).
+    if os.environ.get("STWO_BF_LOCATION_FREE_CACHE", "1") != "0":
+        jax.config.update("jax_traceback_in_locations_limit", 0)
 except Exception:  # pragma: no cover - older jax without these options
     pass
 

@@ -81,6 +81,47 @@ class _NullChannel:
         pass
 
 
+def _preproot_cache_path():
+    import os
+
+    from . import _cache_dir
+
+    return os.path.join(_cache_dir, "preprocessed_roots.json")
+
+
+@lru_cache(maxsize=8)
+def _preprocessed_root(ladder: tuple, log_blowup: int) -> bytes:
+    """Root of the is_first ladder commitment, cached on DISK across
+    processes: the verifier only needs the 32-byte root (witness hashes come
+    from the proof), so a fresh verify-only process must not pay the full
+    ladder recommit (~2 s of device work) that `_preprocessed_tree` costs.
+    The cache is trusted because this process (or a prior one as the same
+    user) computed it; the key is the exact (ladder, blowup) pair."""
+    import json
+    import os
+
+    key = f"{log_blowup}:" + ",".join(str(lg) for lg in ladder)
+    path = _preproot_cache_path()
+    try:
+        with open(path) as f:
+            roots = json.load(f)
+        if key in roots:
+            return bytes.fromhex(roots[key])
+    except (OSError, ValueError):
+        roots = {}
+    root = _preprocessed_tree(ladder, log_blowup).root
+    roots[key] = root.hex()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(roots, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return root
+
+
 @lru_cache(maxsize=8)
 def _preprocessed_tree(ladder: tuple, log_blowup: int) -> TreeProver:
     """The is_first ladder commitment is a pure function of (ladder, blowup)
@@ -308,6 +349,7 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
 
     log.info("Phase 0: preprocessed trace")
     tree0 = _preprocessed_tree(tuple(layout.ladder), config.log_blowup)
+    _preprocessed_root(tuple(layout.ladder), config.log_blowup)  # seed disk cache
     channel.mix_root(tree0.root)
 
     log.info("Phase 1: main trace")
@@ -593,10 +635,14 @@ def _verify_brainfuck_inner(proof: dict, min_config: Optional[PcsConfig]) -> Non
         raise VerificationError(f"malformed proof: {exc}")
 
     floor = min_config or MIN_SECURITY_CONFIG
+    # log_max_rows is capped at LOG_MAX_ROWS_CAP (= the prover's capacity
+    # bound): accepting larger values would let a hostile proof force the
+    # verifier into a 2^(29+)-point preprocessed recommit before any
+    # cryptographic check fails (DoS).
     if (config.log_blowup < max(1, floor.log_blowup)
             or config.n_queries < floor.n_queries
             or config.pow_bits < floor.pow_bits
-            or not (0 <= config.log_max_rows <= 28)):
+            or not (0 <= config.log_max_rows <= LOG_MAX_ROWS_CAP)):
         raise VerificationError(f"insecure proof parameters: {config}")
     if len(roots) != N_TREES or len(decs) != N_TREES or len(sampled) != N_TREES:
         raise VerificationError("bad tree count")
@@ -618,8 +664,9 @@ def _verify_brainfuck_inner(proof: dict, min_config: Optional[PcsConfig]) -> Non
     # (The reference verifier takes it from the proof, mod.rs:754-758, which
     # would let a prover commit a fake is_first column and void every
     # boundary constraint.)
-    expected_tree0 = _preprocessed_tree(tuple(layout.ladder), config.log_blowup)
-    if expected_tree0.root != roots[0]:
+    # (root disk-cached across processes — a fresh verify-only process checks
+    # it in microseconds instead of recommitting the ladder)
+    if _preprocessed_root(tuple(layout.ladder), config.log_blowup) != roots[0]:
         raise VerificationError("preprocessed commitment mismatch")
 
     # transcript replay

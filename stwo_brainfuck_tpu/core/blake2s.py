@@ -51,23 +51,27 @@ def _rotr(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
 
 
-def compress(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
-    """One BLAKE2s compression. h: (..., 8) uint32, m: (..., 16) uint32,
-    t: byte counter after this block (static int), last: final-block flag.
+def _compress_t(h: jnp.ndarray, m_t: jnp.ndarray, t_lo, t_hi, last) -> jnp.ndarray:
+    """One BLAKE2s compression. h: (..., 8) uint32; m_t: (16, ...) uint32
+    message words TRANSPOSED (word index leading); t_lo/t_hi: byte counter
+    after this block (traced uint32 scalars); last: final-block flag (traced
+    bool scalar).
 
-    The 10 rounds run as a lax.fori_loop over pre-permuted message schedules
-    (unrolling them makes XLA's CPU compile time exponential in depth; the
-    loop body compiles once and costs nothing extra on TPU)."""
+    The 10 rounds run as a lax.fori_loop; each round gathers its message
+    schedule from m_t along the LEADING axis (16 major-dim rows — cheap on
+    TPU). The previous form pre-permuted all 10 schedules into a
+    (10, ..., 16) buffer: 10x the message bytes materialized in HBM and a
+    multi-MB serialized executable per Merkle level shape — executable LOAD
+    bandwidth through the TPU relay is the dominant cold-start cost."""
+    shape = h.shape[:-1]
     v = [h[..., i] for i in range(8)] + [
-        jnp.broadcast_to(jnp.uint32(_IV[i]), h.shape[:-1]) for i in range(8)
+        jnp.broadcast_to(jnp.uint32(_IV[i]), shape) for i in range(8)
     ]
-    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
-    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
-    if last:
-        v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
+    v[12] = v[12] ^ jnp.uint32(t_lo)
+    v[13] = v[13] ^ jnp.uint32(t_hi)
+    v[14] = jnp.where(last, v[14] ^ jnp.uint32(0xFFFFFFFF), v[14])
 
-    # (10, ..., 16): message words permuted per round (static gather)
-    msgs = jnp.stack([m[..., _SIGMA[r]] for r in range(10)])
+    sigma = jnp.asarray(_SIGMA)
 
     def g(a, b, c, d, x, y):
         a = a + b + x
@@ -82,20 +86,26 @@ def compress(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
 
     def round_fn(r, v):
         v = list(v)
-        mr = msgs[r]
-        v[0], v[4], v[8], v[12] = g(v[0], v[4], v[8], v[12], mr[..., 0], mr[..., 1])
-        v[1], v[5], v[9], v[13] = g(v[1], v[5], v[9], v[13], mr[..., 2], mr[..., 3])
-        v[2], v[6], v[10], v[14] = g(v[2], v[6], v[10], v[14], mr[..., 4], mr[..., 5])
-        v[3], v[7], v[11], v[15] = g(v[3], v[7], v[11], v[15], mr[..., 6], mr[..., 7])
-        v[0], v[5], v[10], v[15] = g(v[0], v[5], v[10], v[15], mr[..., 8], mr[..., 9])
-        v[1], v[6], v[11], v[12] = g(v[1], v[6], v[11], v[12], mr[..., 10], mr[..., 11])
-        v[2], v[7], v[8], v[13] = g(v[2], v[7], v[8], v[13], mr[..., 12], mr[..., 13])
-        v[3], v[4], v[9], v[14] = g(v[3], v[4], v[9], v[14], mr[..., 14], mr[..., 15])
+        mr = jnp.take(m_t, sigma[r], axis=0)
+        v[0], v[4], v[8], v[12] = g(v[0], v[4], v[8], v[12], mr[0], mr[1])
+        v[1], v[5], v[9], v[13] = g(v[1], v[5], v[9], v[13], mr[2], mr[3])
+        v[2], v[6], v[10], v[14] = g(v[2], v[6], v[10], v[14], mr[4], mr[5])
+        v[3], v[7], v[11], v[15] = g(v[3], v[7], v[11], v[15], mr[6], mr[7])
+        v[0], v[5], v[10], v[15] = g(v[0], v[5], v[10], v[15], mr[8], mr[9])
+        v[1], v[6], v[11], v[12] = g(v[1], v[6], v[11], v[12], mr[10], mr[11])
+        v[2], v[7], v[8], v[13] = g(v[2], v[7], v[8], v[13], mr[12], mr[13])
+        v[3], v[4], v[9], v[14] = g(v[3], v[4], v[9], v[14], mr[14], mr[15])
         return tuple(v)
 
     v = jax.lax.fori_loop(0, 10, round_fn, tuple(v))
     out = [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)]
     return jnp.stack(out, axis=-1)
+
+
+def compress(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
+    """Compatibility wrapper: m word-minor (..., 16), static t/last."""
+    return _compress_t(h, jnp.moveaxis(m, -1, 0), t & 0xFFFFFFFF,
+                       (t >> 32) & 0xFFFFFFFF, last)
 
 
 def hash_words(words: jnp.ndarray, n_bytes: int | None = None) -> jnp.ndarray:
@@ -120,10 +130,26 @@ def _hash_words_jit(words: jnp.ndarray, n_bytes: int | None) -> jnp.ndarray:
             [words, jnp.zeros(words.shape[:-1] + (pad,), jnp.uint32)], axis=-1
         )
     h = jnp.broadcast_to(jnp.asarray(_H0), words.shape[:-1] + (8,))
-    for blk in range(n_blocks):
-        is_last = blk == n_blocks - 1
-        t = total if is_last else 64 * (blk + 1)
-        h = compress(h, words[..., blk * 16 : (blk + 1) * 16], t, is_last)
+    if n_blocks == 1:
+        return _compress_t(h, jnp.moveaxis(words, -1, 0), total, 0, True)
+    # Multi-block: ONE compression body scanned over blocks (the unrolled
+    # form compiled a full compress per block — executable size grew with
+    # the column count of every Merkle level shape).
+    blocks = jnp.moveaxis(  # (n_blocks, 16, ...)
+        words.reshape(words.shape[:-1] + (n_blocks, 16)), (-2, -1), (0, 1))
+    t_lo = jnp.asarray(
+        [(total if b == n_blocks - 1 else 64 * (b + 1)) & 0xFFFFFFFF
+         for b in range(n_blocks)], jnp.uint32)
+    t_hi = jnp.asarray(
+        [(total if b == n_blocks - 1 else 64 * (b + 1)) >> 32
+         for b in range(n_blocks)], jnp.uint32)
+    last = jnp.asarray([b == n_blocks - 1 for b in range(n_blocks)])
+
+    def body(h, x):
+        blk, lo, hi, lst = x
+        return _compress_t(h, blk, lo, hi, lst), None
+
+    h, _ = jax.lax.scan(body, h, (blocks, t_lo, t_hi, last))
     return h
 
 

@@ -14,9 +14,13 @@ hosts hold identical channels and the proof assembled on host 0 is
 byte-identical to the single-chip proof (the shard-count invariance
 asserted by tests/test_parallel.py and __graft_entry__.dryrun_multichip).
 
-This module cannot be integration-tested in this image (one TPU chip, one
-host); it is exercised structurally via the in-process initialize() path on
-the CPU backend in tests.
+Multi-PROCESS execution is integration-tested on the CPU backend:
+tests/test_distributed.py spawns two local processes with a localhost
+coordinator (STWO_BF_NUM_PROCESSES=2 / STWO_BF_COORDINATOR /
+STWO_BF_PROCESS_ID), runs the --distributed CLI prove in both, and asserts
+the coordinator's proof is byte-identical to the single-chip proof while the
+other host stays silent. Real pod slices additionally exercise ICI/DCN,
+which this image (one TPU chip) cannot.
 """
 
 from __future__ import annotations
@@ -36,12 +40,17 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """Join the global distributed runtime.
 
-    With no arguments, reads the standard JAX env vars / cluster
-    auto-detection (GKE/GCE TPU pods configure these automatically). On a
-    single host this is a no-op, so the same entry point works everywhere.
+    With no arguments, reads STWO_BF_NUM_PROCESSES / STWO_BF_COORDINATOR /
+    STWO_BF_PROCESS_ID, falling back to JAX's cluster auto-detection
+    (GKE/GCE TPU pods configure these automatically). On a single host this
+    is a no-op, so the same entry point works everywhere.
     """
     if num_processes is None:
         num_processes = int(os.environ.get("STWO_BF_NUM_PROCESSES", "1"))
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("STWO_BF_COORDINATOR")
+    if process_id is None and "STWO_BF_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["STWO_BF_PROCESS_ID"])
     if num_processes <= 1 and coordinator_address is None:
         return  # single-host: nothing to initialize
     jax.distributed.initialize(
