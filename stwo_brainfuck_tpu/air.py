@@ -44,7 +44,6 @@ from .framework.component import (
     composition_contribution,
     evaluate_constraints_at_point,
 )
-import functools
 from functools import lru_cache, partial
 
 import jax
@@ -358,13 +357,11 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     dev_tabs: Dict[str, Dict[str, jnp.ndarray]] = {}
     for comp in comps:
         mat = jnp.asarray(np.stack([tabs[comp.name][c] for c in comp.columns]))
-        if ops is None:
-            # deferred rows: consumer executables slice the uploaded matrix
-            # (eager mat[i] is one lax.slice executable per (shape, row))
-            dev_tabs[comp.name] = {c: RowRef(mat, i)
-                                   for i, c in enumerate(comp.columns)}
-        else:
-            dev_tabs[comp.name] = {c: mat[i] for i, c in enumerate(comp.columns)}
+        # deferred rows: consumer executables slice the uploaded matrix
+        # (eager mat[i] is one lax.slice executable per (shape, row)) —
+        # the sharded executables resolve RowRefs in their jit wrappers too
+        dev_tabs[comp.name] = {c: RowRef(mat, i)
+                               for i, c in enumerate(comp.columns)}
     main_cols: List[Tuple[int, jnp.ndarray]] = []
     for comp in comps:
         for col in comp.columns:
@@ -389,8 +386,7 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
         claimed_futs.append(claimed_dev)
         for q in inter:
             for c in range(4):
-                inter_cols.append((comp.log_size,
-                                   RowRef(q, c) if ops is None else q[c]))
+                inter_cols.append((comp.log_size, RowRef(q, c)))
     claimed_host = pull_all(claimed_futs)
     iclaim: Dict[str, tuple] = {
         comp.name: tuple(int(v) for v in arr)
@@ -418,17 +414,15 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
         n_inter = comp.relation_count() + 1
         ext_inter = []
         for k in range(n_inter):
+            # stack + rotate INSIDE the constraint executable (each eager
+            # stack/take is a separate compile + relay round trip); the
+            # sharded wrapper (_sharded_constraints_fn) normalizes the same
+            # forms before its shard_map
             coords = tuple(tree2.records[t2 + 4 * k + c].extended for c in range(4))
-            # single-chip: stack + rotate INSIDE the constraint executable
-            # (each eager stack/take is a separate compile + relay round
-            # trip); sharded: dense arrays (the rotation crosses shards)
-            ext_inter.append(coords if ops is None else jnp.stack(coords))
+            ext_inter.append(coords)
         t2 += 4 * n_inter
         perm = _dev_rotation(n, blow, 1)
-        if ops is None:
-            s_prev = (ext_inter[-1], perm)
-        else:
-            s_prev = jnp.take(ext_inter[-1], perm, axis=1)
+        s_prev = (ext_inter[-1], perm)
         isf_ext = tree0.records[tree0_index[n]].extended
         v_inv = _dev_vanishing_inv(n, n + blow)
         contribute = ops.composition_contribution if ops else composition_contribution
@@ -450,17 +444,12 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
             for lg, arrs in sorted(acc.items()))
         comp_evals = _combine_eval(coeffs_list, comp_log)
     else:
-        comp_coeffs = jnp.zeros((4, 1 << comp_log), jnp.uint32)
-        for lg, arrs in acc.items():
-            arr = functools.reduce(qm31.add, arrs)
-            coeffs = ops.interpolate(arr, lg)  # (4, 2^lg)
-            pad = (1 << comp_log) - (1 << lg)
-            comp_coeffs = m31.add(comp_coeffs,
-                                  jnp.pad(coeffs, ((0, 0), (0, pad))))
-        comp_evals = ops.evaluate(comp_coeffs, comp_log)
+        # fused mesh analog: per-size sums + sharded interpolates + pad-add
+        # + the composition-domain evaluate in ONE executable
+        comp_evals = ops.combine_eval(acc, comp_log)
     tree3 = TreeProver(
-        [(comp_log, RowRef(comp_evals, c) if ops is None else comp_evals[c])
-         for c in range(4)], config, channel, ops=ops)
+        [(comp_log, RowRef(comp_evals, c)) for c in range(4)],
+        config, channel, ops=ops)
 
     trees = [tree0, tree1, tree2, tree3]
 
@@ -754,7 +743,13 @@ def _verify_brainfuck_inner(proof: dict, min_config: Optional[PcsConfig]) -> Non
                 (dict(zip(positions, vals)), claims)
             )
 
-    # FRI query verification
+    # FRI query verification (point-group constants prepared once per size —
+    # the naive per-position per-claim recomputation dominated verify time)
+    prepared_by_size = {
+        size: quotients.prepare_point_groups([c[1] for c in cols], alpha_q)
+        for size, cols in values_by_size.items()
+    }
+
     def input_values_fn(size, position):
         if size not in values_by_size:
             return None
@@ -762,8 +757,7 @@ def _verify_brainfuck_inner(proof: dict, min_config: Optional[PcsConfig]) -> Non
         return quotients.quotient_value_at_position(
             size, position,
             [c[0][position] for c in cols],
-            [c[1] for c in cols],
-            alpha_q,
+            prepared=prepared_by_size[size],
         )
 
     try:

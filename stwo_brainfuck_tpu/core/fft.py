@@ -45,6 +45,16 @@ def bit_reverse_indices(log_size: int) -> np.ndarray:
     return rev
 
 
+def bitrev_int(x: int, bits: int) -> int:
+    """Bit-reverse of a single index (the verifier's point-wise accessors
+    must not build 2^n permutation arrays for a handful of positions)."""
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
 def bit_reverse(values: np.ndarray | jnp.ndarray, axis: int = -1):
     """Permute an array into/out of bit-reversed order along `axis`
     (involution)."""

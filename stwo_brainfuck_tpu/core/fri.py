@@ -169,14 +169,14 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
         fold_c, fold_l, commit_layer = fold_circle, fold_line, _commit_layer
     else:
         def fold_c(values, beta, log_size):
-            return ops.fold(values, _circle_fold_itw(log_size), beta)
+            return ops.fold(values, _dev_itw("c", log_size), beta)
 
         def fold_l(values, beta, line_log):
-            return ops.fold(values, _line_fold_itw(line_log), beta)
+            return ops.fold(values, _dev_itw("l", line_log), beta)
 
         def commit_layer(values):
             log = values.shape[1].bit_length() - 1
-            return ops.commit({log: [values[k] for k in range(4)]})
+            return ops.commit({log: values})
 
     beta0 = channel.draw_felt()  # circle fold coefficient for all injections
 
@@ -193,7 +193,8 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
                 return _fold_add_jit(
                     inputs[m + 1], _dev_itw("c", m + 1),
                     jnp.asarray(np.array(beta0, np.uint32)), cur)
-            return qm31.add(cur, fold_c(inputs[m + 1], beta0, m + 1))
+            return ops.fold_add(inputs[m + 1], _dev_itw("c", m + 1),
+                                beta0, cur)
         return cur
 
     # Radix-4: each committed layer folds TWICE (beta, then beta^2) — halves
@@ -209,11 +210,15 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
         roots.append(tree.root)
         channel.mix_root(tree.root)
         beta = channel.draw_felt()
-        if m - 1 > LOG_LAST_LAYER and m not in inputs and ops is None:
+        if m - 1 > LOG_LAST_LAYER and m not in inputs:
             beta2 = qm31.h_mul(beta, beta)
-            cur = _fold2_jit(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
-                             jnp.asarray(np.array(beta, np.uint32)),
-                             jnp.asarray(np.array(beta2, np.uint32)))
+            if ops is None:
+                cur = _fold2_jit(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
+                                 jnp.asarray(np.array(beta, np.uint32)),
+                                 jnp.asarray(np.array(beta2, np.uint32)))
+            else:
+                cur = ops.fold2(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
+                                beta, beta2)
             m -= 2
             continue
         cur = fold_l(cur, beta, m)
@@ -392,8 +397,23 @@ def _host_fold(a: tuple, b: tuple, beta: tuple, itw: int) -> tuple:
 
 
 def _circle_itw_host(log_size: int, t: int) -> int:
-    return int(_circle_fold_itw(log_size)[t])
+    """inv(2*y_t) for ONE fold pair (verifier): y_t = fwd[0][t] is the y of
+    the half-coset point at bit-reversed block t — computed point-wise, so a
+    fresh verify-only process never builds the full twiddle stacks (~8 s for
+    the big sizes)."""
+    from .circle import half_odds
+    from .fft import bitrev_int
+
+    y = half_odds(log_size - 1).at(bitrev_int(t, log_size - 1))[1]
+    return pow(2 * y % P_INT, P_INT - 2, P_INT)
 
 
 def _line_itw_host(line_log: int, t: int) -> int:
-    return int(_line_fold_itw(line_log)[t])
+    """inv(2*x_t) for ONE line-fold pair (verifier): x_t = fwd[1][t] of the
+    size-2^(line_log+1) twiddles = x of the half-coset point at bit-reversed
+    block t."""
+    from .circle import half_odds
+    from .fft import bitrev_int
+
+    x = half_odds(line_log).at(bitrev_int(t, line_log - 1))[0]
+    return pow(2 * x % P_INT, P_INT - 2, P_INT)

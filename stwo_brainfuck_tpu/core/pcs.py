@@ -80,28 +80,21 @@ class TreeProver:
             groups.setdefault(log_size, []).append(i)
         coeffs_all: Dict[int, jnp.ndarray] = {}
         ext_all: Dict[int, jnp.ndarray] = {}
+        extend = ops.extend_with_coeffs if ops else fft.extend_with_coeffs
         for log_size, idxs in groups.items():
             vals = [columns[i][1] for i in idxs]
             if all(isinstance(v, np.ndarray) for v in vals):
                 # host-side stack -> single upload instead of one per column
                 mat = jnp.asarray(np.stack(vals).astype(np.uint32))
-            elif ops is None:
+            else:
                 # device-resident columns (or RowRefs): stacked INSIDE the
                 # extend executable (an eager jnp.stack is a separate compile
-                # + relay round trip per size group on the cold path)
+                # + relay round trip per size group on the cold path) — both
+                # the single-chip and the sharded extend accept the tuple
                 mat = tuple(v if isinstance(v, RowRef)
                             else jnp.asarray(v, jnp.uint32) for v in vals)
-            else:
-                mat = jnp.stack([jnp.asarray(v, jnp.uint32) for v in vals])
-            if ops is None:
-                # fused interpolate+pad+evaluate: one executable per group
-                coeffs, ext = fft.extend_with_coeffs(
-                    mat, log_size, config.log_blowup)
-            else:
-                coeffs = ops.interpolate(mat, log_size)
-                pad = (1 << (log_size + config.log_blowup)) - (1 << log_size)
-                ext = ops.evaluate(jnp.pad(coeffs, ((0, 0), (0, pad))),
-                                   log_size + config.log_blowup)
+            # fused interpolate+pad+evaluate: one executable per group
+            coeffs, ext = extend(mat, log_size, config.log_blowup)
             coeffs_all[log_size] = coeffs
             ext_all[log_size] = ext
         self.records: List[ColumnRecord] = []
@@ -109,16 +102,12 @@ class TreeProver:
         for log_size, _ in columns:
             j = pos[log_size]
             pos[log_size] = j + 1
-            if ops is None:
-                # deferred rows: consumers slice inside their executables
-                # (an eager mat[j] is one lax.slice executable per row cold
-                # plus a relay dispatch per record warm)
-                self.records.append(ColumnRecord(
-                    log_size, RowRef(coeffs_all[log_size], j),
-                    RowRef(ext_all[log_size], j)))
-            else:
-                self.records.append(ColumnRecord(
-                    log_size, coeffs_all[log_size][j], ext_all[log_size][j]))
+            # deferred rows: consumers slice inside their executables
+            # (an eager mat[j] is one lax.slice executable per row cold
+            # plus a relay dispatch per record warm)
+            self.records.append(ColumnRecord(
+                log_size, RowRef(coeffs_all[log_size], j),
+                RowRef(ext_all[log_size], j)))
         # one (C, N) matrix per level — the whole size group, in record order
         by_level = {lg + config.log_blowup: ext_all[lg] for lg in groups}
         self.tree = commit(by_level)

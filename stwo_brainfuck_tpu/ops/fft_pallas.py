@@ -70,16 +70,17 @@ def _plan(n: int):
     return 1 << n1, 1 << n2, n1, n2
 
 
-@lru_cache(maxsize=24)
-def _tables(n: int, inverse: bool):
-    """Host twiddle tables: (twr1 (A1, A2, n1), twr2 (A1, A2, n2),
-    twl (A1, 7, A2, 128)). Row table column k holds stage L = n-1-k's
-    per-row twiddle stages[L][a >> (L-6)]; twl[:, L] holds stage L's
-    per-element twiddle stages[L][j >> (L+1)]."""
+def _tables_from_stages(st, n: int):
+    """Host twiddle tables from an explicit stage list (st[L] has length
+    2^(n-1-L), bit-reversed block order): (twr1 (A1, A2, n1),
+    twr2 (A1, A2, n2), twl (A1, 7, A2, 128)). Row table column k holds stage
+    L = n-1-k's per-row twiddle st[L][a >> (L-6)]; twl[:, L] holds stage L's
+    per-element twiddle st[L][j >> (L+1)]. Shared by the single-chip tables
+    and the per-shard tables of the sharded transform (parallel/
+    fft_sharded.py), whose local stages use contiguous slices of the global
+    twiddles."""
     A1, A2, n1, n2 = _plan(n)
     A = A1 * A2
-    tw = fft.get_twiddles(n)
-    st = tw.inv if inverse else tw.fwd
     a = np.arange(A)
     twr = np.empty((A, n - _LOG_LANES), np.uint32)
     for k, L in enumerate(range(n - 1, _LOG_LANES - 1, -1)):
@@ -92,6 +93,12 @@ def _tables(n: int, inverse: bool):
     for L in range(_LOG_LANES):
         twl[:, L] = st[L][j >> (L + 1)].reshape(A1, A2, _LANES)
     return twr1, twr2, twl
+
+
+@lru_cache(maxsize=24)
+def _tables(n: int, inverse: bool):
+    tw = fft.get_twiddles(n)
+    return _tables_from_stages(tw.inv if inverse else tw.fwd, n)
 
 
 _DEV_TABLES: dict = {}
@@ -130,8 +137,10 @@ def _scale_const(n: int) -> np.uint32:
     return np.uint32(pow((P_INT + 1) // 2, n, P_INT))
 
 
-def _make_pass1(n: int, inverse: bool, scale: bool):
-    """Row stages with stride >= A2: slab (A1, SUB, 128), rolls on axis 0."""
+def _make_pass1(n: int, inverse: bool, scale: int):
+    """Row stages with stride >= A2: slab (A1, SUB, 128), rolls on axis 0.
+    `scale` = log of the 1/2^scale normalization folded into this pass
+    (0 = none)."""
     _, _, n1, n2 = _plan(n)
 
     def kernel(x_ref, t_ref, o_ref):
@@ -148,13 +157,13 @@ def _make_pass1(n: int, inverse: bool, scale: bool):
             x = _bf_inv(x, t, s1, sel, 0) if inverse else \
                 _bf_fwd(x, t, s1, sel, 0)
         if scale:
-            x = _mul_body(x, _scale_const(n))
+            x = _mul_body(x, _scale_const(scale))
         o_ref[0] = x
 
     return kernel
 
 
-def _make_pass2(n: int, inverse: bool, scale: bool):
+def _make_pass2(n: int, inverse: bool, scale: int):
     """Row stages with stride < A2 plus lane stages: slab (A2, 128)."""
     _, A2, n1, n2 = _plan(n)
 
@@ -189,7 +198,7 @@ def _make_pass2(n: int, inverse: bool, scale: bool):
             for L in range(_LOG_LANES - 1, -1, -1):
                 x = lane(L, x)
         if scale:
-            x = _mul_body(x, _scale_const(n))
+            x = _mul_body(x, _scale_const(scale))
         o_ref[0, 0] = x
 
     return kernel
@@ -243,21 +252,28 @@ def _pass2_call(x4, twr2, twl, n, inverse, scale, interpret):
 
 
 def _transform_body(mat, twr1, twr2, twl, n: int, inverse: bool,
-                    interpret: bool):
+                    interpret: bool, scale_log: int | None = None):
+    """scale_log: log of the 1/2^k normalization folded into the final
+    inverse pass; None = n (the full-transform default). The sharded
+    transform passes 0 (its global 1/2^N scale is applied once after the
+    cross stages)."""
     C = mat.shape[0]
     A1, A2, n1, _ = _plan(n)
+    if scale_log is None:
+        scale_log = n
     x4 = mat.reshape(C, A1, A2, _LANES)
     if inverse:
-        x4 = _pass2_call(x4, twr2, twl, n, True, scale=(n1 == 0),
+        x4 = _pass2_call(x4, twr2, twl, n, True,
+                         scale=(scale_log if n1 == 0 else 0),
                          interpret=interpret)
         if n1:
-            x4 = _pass1_call(x4, twr1, n, True, scale=True,
+            x4 = _pass1_call(x4, twr1, n, True, scale=scale_log,
                              interpret=interpret)
     else:
         if n1:
-            x4 = _pass1_call(x4, twr1, n, False, scale=False,
+            x4 = _pass1_call(x4, twr1, n, False, scale=0,
                              interpret=interpret)
-        x4 = _pass2_call(x4, twr2, twl, n, False, scale=False,
+        x4 = _pass2_call(x4, twr2, twl, n, False, scale=0,
                          interpret=interpret)
     return x4.reshape(C, 1 << n)
 

@@ -5,7 +5,7 @@ nodes always live in the same shard: every level hashes locally until the
 node count reaches the device count. Each device then holds the root of its
 subtree; one all_gather collects the D subtree roots and the remaining
 log2(D) levels (plus any column injections at those tiny levels) finish
-replicated.
+replicated — all inside ONE jitted executable per tree signature.
 
 Roots are bit-identical to the single-device core/merkle.py commit
 (shard-count invariance is the SURVEY §7 acceptance test for sharded
@@ -14,6 +14,7 @@ commitments).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, List
 
 import numpy as np
@@ -26,150 +27,122 @@ from ..core import blake2s, merkle
 from .mesh import ROW_AXIS
 
 
-def commit_sharded(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> merkle.MerkleTree:
-    """Full sharded Merkle commit: like core/merkle.commit but the levels with
-    >= D nodes are hashed by a shard_map over contiguous node chunks (children
-    of a shard's nodes are local by construction), the D subtree roots are
-    all_gathered, and the tiny top levels finish replicated.
+def _mesh_size(mesh: Mesh) -> int:
+    return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
-    Returns the same MerkleTree structure as core/merkle.commit (layers +
-    column_matrix kept as device arrays — the big ones sharded), so
-    decommitment works unchanged. The root is bit-identical to the
-    single-device commit (shard-count invariance)."""
-    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    # normalize (C, N) matrices to column lists (the single-chip commit's
-    # preferred form is a matrix; the shard_map specs here want per-column)
-    columns_by_log = {
-        k: ([v[i] for i in range(v.shape[0])] if hasattr(v, "ndim") and v.ndim == 2
-            else list(v))
-        for k, v in columns_by_log.items()
-    }
-    max_log = max(columns_by_log)
+
+@lru_cache(maxsize=32)
+def _commit_fn(mesh: Mesh, sig: tuple):
+    """ONE executable for a whole tree signature ((level, n_cols), ...):
+    sharded level hashing (children of a shard's contiguous node chunk are
+    local by construction), the all_gather of the D subtree roots, and the
+    replicated top levels — fused. The executable is shared by every tree
+    with the same signature (the eager per-level/per-column version cost a
+    dispatch + cold compile per level)."""
+    D = _mesh_size(mesh)
     split_log = int(np.log2(D))
-    if max_log < split_log:
-        return merkle.commit(columns_by_log)
+    by = dict(sig)
+    max_log = max(by)
+    sharded_levels = tuple(range(max_log, split_log - 1, -1))
 
-    sharded_levels = list(range(max_log, split_log - 1, -1))
-    col_specs = {
-        k: [P(ROW_AXIS)] * len(columns_by_log.get(k, []))
-        for k in sharded_levels
-    }
-
-    def step(cols):
+    def step(mats):
         layers = {}
-        mats = {}
+        colmats = {}
         prev = None
         for k in sharded_levels:
-            level_cols = cols.get(k, [])
             n_local = (1 << k) // D
             parts = []
             if prev is not None:
                 parts.append(prev.reshape(n_local, 16))
-            for c in level_cols:
-                parts.append(c.reshape(n_local, 1))
-            msg = jnp.concatenate(parts, axis=1)
-            if level_cols:
-                mats[k] = msg[:, -len(level_cols):]
+            if k in mats:
+                parts.append(mats[k].T)
+            msg = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            if k in mats:
+                colmats[k] = msg[:, -mats[k].shape[0]:]
             prev = blake2s.hash_words(msg)
             layers[k] = prev
-        return layers, mats
+        # level split_log: one node per shard -> replicate the D digests
+        sub = jax.lax.all_gather(prev.reshape(8), ROW_AXIS)  # (D, 8)
+        return layers, colmats, sub
 
-    fn = shard_map(
+    big_keys = [k for k in sharded_levels if k in by]
+    sharded = shard_map(
         step, mesh=mesh,
-        in_specs=({k: specs for k, specs in col_specs.items()},),
+        in_specs=({k: P(None, ROW_AXIS) for k in big_keys},),
         out_specs=(
             {k: P(ROW_AXIS, None) for k in sharded_levels},
-            {k: P(ROW_AXIS, None) for k in sharded_levels
-             if columns_by_log.get(k)},
+            {k: P(ROW_AXIS, None) for k in big_keys},
+            P(None, None),
         ),
         check_vma=False,
     )
-    dev_cols = {
-        k: [jnp.asarray(c, jnp.uint32) for c in columns_by_log.get(k, [])]
-        for k in sharded_levels
-    }
-    layers, col_matrix = jax.jit(fn)(dev_cols)
+
+    @jax.jit
+    def fn(mats):
+        big = {k: mats[k] for k in big_keys}
+        layers, colmats, prev = sharded(big)
+        layers = dict(layers)
+        colmats = dict(colmats)
+        # top levels (< D nodes): replicated, identical to merkle.commit
+        for k in range(split_log - 1, -1, -1):
+            parts = [prev.reshape(1 << k, 16)]
+            if k in mats:
+                parts.append(mats[k].T)
+            msg = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            if k in mats:
+                colmats[k] = msg[:, 16:]
+            prev = blake2s.hash_words(msg)
+            layers[k] = prev
+        return layers, colmats
+
+    return fn
+
+
+def commit_sharded(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> merkle.MerkleTree:
+    """Full sharded Merkle commit: like core/merkle.commit but levels with
+    >= D nodes hash in a shard_map over contiguous node chunks, and the whole
+    tree (including the replicated top levels) is ONE executable per
+    signature.
+
+    columns_by_log values may be a list of (2^k,) columns or one (C, 2^k)
+    matrix (preferred — no per-column slicing dispatches). Returns the same
+    MerkleTree structure as core/merkle.commit (layers + column_matrix kept
+    as device arrays — the big ones sharded), so decommitment works
+    unchanged. The root is bit-identical to the single-device commit
+    (shard-count invariance)."""
+    D = _mesh_size(mesh)
+    split_log = int(np.log2(D))
+    mats: Dict[int, jnp.ndarray] = {}
+    for k, v in columns_by_log.items():
+        if isinstance(v, (list, tuple)):
+            mat = jnp.stack([jnp.asarray(c, jnp.uint32) for c in v])
+        else:
+            mat = jnp.asarray(v, jnp.uint32)
+        assert mat.shape[1] == 1 << k, (mat.shape, k)
+        mats[k] = mat
+    max_log = max(mats)
+    if max_log < split_log:
+        return merkle.commit(mats)
+
+    sig = tuple(sorted((k, int(m.shape[0])) for k, m in mats.items()))
+    layers, col_matrix = _commit_fn(mesh, sig)(mats)
     layers = dict(layers)
     col_matrix = dict(col_matrix)
-
-    # finish the top levels (< D nodes) replicated, identical to merkle.commit
-    prev = layers[split_log]
-    for k in range(split_log - 1, -1, -1):
-        cols = columns_by_log.get(k, [])
-        parts = [prev.reshape(1 << k, 16)]
-        for c in cols:
-            parts.append(jnp.asarray(c, jnp.uint32).reshape(1 << k, 1))
-        msg = jnp.concatenate(parts, axis=1)
-        if cols:
-            col_matrix[k] = msg[:, -len(cols):]
-        prev = blake2s.hash_words(msg)
-        layers[k] = prev
 
     root = blake2s.digest_to_bytes(np.asarray(layers[0][0]))
     return merkle.MerkleTree(
         root=root, layers=layers,
-        columns_by_log={k: list(v) for k, v in columns_by_log.items()},
+        columns_by_log=dict(mats),
         column_matrix=col_matrix,
     )
 
 
 def sharded_commit(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> bytes:
-    """Compute the Merkle root with level-sharded hashing.
+    """Compute just the Merkle ROOT with level-sharded hashing (kept as the
+    minimal standalone form of the algorithm; commit_sharded is the prover
+    path).
 
     columns_by_log: level -> list of (2^level,) M31 columns (device or host).
     Returns the 32-byte root, equal to merkle.commit(...).root.
     """
-    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    max_log = max(columns_by_log)
-    split_log = int(np.log2(D))
-    assert (1 << split_log) == D and max_log >= split_log
-
-    # levels >= split_log are sharded; deeper-than-split columns ride along
-    sharded_levels = [k for k in range(max_log, split_log - 1, -1)]
-    col_specs = {
-        k: [P(ROW_AXIS)] * len(columns_by_log.get(k, []))
-        for k in sharded_levels
-    }
-
-    def step(cols):
-        prev = None
-        for k in sharded_levels:
-            level_cols = cols.get(k, [])
-            n_local = (1 << k) // D
-            parts = []
-            if prev is not None:
-                parts.append(prev.reshape(n_local, 16))
-            for c in level_cols:
-                parts.append(c.reshape(n_local, 1))
-            msg = jnp.concatenate(parts, axis=1)
-            prev = blake2s.hash_words(msg)
-        # prev: (1, 8) per shard = subtree root at level split_log
-        return jax.lax.all_gather(prev.reshape(8), ROW_AXIS)  # (D, 8)
-
-    fn = shard_map(
-        step, mesh=mesh,
-        in_specs=({k: specs for k, specs in col_specs.items()},),
-        out_specs=P(None, None), check_vma=False,
-    )
-    dev_cols = {
-        k: [jnp.asarray(c, jnp.uint32) for c in columns_by_log.get(k, [])]
-        for k in sharded_levels
-    }
-    subtree_roots = np.asarray(jax.jit(fn)(dev_cols))  # (D, 8)
-
-    # finish the top levels on host (tiny): levels split_log-1 .. 0
-    prev = subtree_roots
-    for k in range(split_log - 1, -1, -1):
-        cols = columns_by_log.get(k, [])
-        msgs = []
-        for i in range(1 << k):
-            m = prev[2 * i : 2 * i + 2].reshape(16).astype("<u4").tobytes()
-            for c in cols:
-                m += int(np.asarray(c)[i]).to_bytes(4, "little")
-            msgs.append(m)
-        import hashlib
-
-        prev = np.stack([
-            np.frombuffer(hashlib.blake2s(m).digest(), dtype="<u4") for m in msgs
-        ])
-    return prev[0].astype("<u4").tobytes()
+    return commit_sharded(mesh, columns_by_log).root
