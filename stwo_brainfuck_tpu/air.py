@@ -324,12 +324,6 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     Cargo.toml:13): every heavy phase (FFT extends, Merkle commits, LogUp,
     composition, quotients, FRI folds) runs SPMD over the mesh via
     parallel/prove.py. The proof bytes are identical for any device count."""
-    config = config or PcsConfig(log_max_rows=0)  # 0 = auto ladder top
-    ops = None
-    if mesh is not None:
-        from .parallel.prove import ShardedOps
-
-        ops = ShardedOps(mesh)
     log = logging.getLogger("stwo_brainfuck_tpu")
     log.info("Protocol setup")
     trace = machine.trace()
@@ -337,6 +331,24 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     log.debug("  trace materialized")
     tabs = tables_mod.all_tables(trace, program)
     log.debug("  tables built")
+    return _prove_tables(tabs, config, mesh)
+
+
+def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
+                  ghost: bool = False) -> dict:
+    """The prove pipeline from built tables. ghost=True runs the COMPLETE
+    pipeline on whatever tables are given without requiring a valid trace
+    (the LogUp balance check is skipped) — warmup.ghost_prove uses this with
+    zero tables to execute every executable/shape/sharding of a real prove,
+    which is the mesh path's warmup (enumerating per-signature AOT loads for
+    every shard_map wrapper would duplicate the pipeline's structure)."""
+    config = config or PcsConfig(log_max_rows=0)  # 0 = auto ladder top
+    ops = None
+    if mesh is not None:
+        from .parallel.prove import ShardedOps
+
+        ops = ShardedOps(mesh)
+    log = logging.getLogger("stwo_brainfuck_tpu")
 
     claim = {name: int(np.log2(len(next(iter(cols.values())))))
              for name, cols in tabs.items()}
@@ -392,7 +404,7 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
         comp.name: tuple(int(v) for v in arr)
         for comp, arr in zip(comps, claimed_host)
     }
-    if not lookup_sum_valid(iclaim):
+    if not lookup_sum_valid(iclaim) and not ghost:
         raise ProvingError("LogUp sum does not cancel — invalid trace")
     mix_interaction_claim(channel, iclaim)
     tree2 = TreeProver(inter_cols, config, channel, ops=ops)

@@ -46,6 +46,10 @@ def _add_prove_args(p):
                    help="join the multi-host jax.distributed runtime (pod "
                         "slice) and prove SPMD over ALL its chips; every "
                         "host runs this same command")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile/preload the pipeline's executables "
+                        "before the timed prove (AOT enumeration on a "
+                        "single chip; a ghost prove on a mesh)")
 
 
 def cmd_prove(args) -> int:
@@ -90,6 +94,18 @@ def cmd_prove(args) -> int:
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(args.devices)
+    if args.warmup:
+        import numpy as np
+
+        from . import warmup as warmup_mod
+        from .components import tables as tables_mod
+
+        tabs = tables_mod.all_tables(machine.trace(), machine.program())
+        claim = {name: int(np.log2(len(next(iter(cols.values())))))
+                 for name, cols in tabs.items()}
+        tw = time.time()
+        warmup_mod.warmup(claim, config, mesh=mesh)
+        log.info("Warmup: %.1f s", time.time() - tw)
     t0 = time.time()
     proof = air.prove_brainfuck(machine, config, mesh=mesh)
     proof_time = time.time() - t0

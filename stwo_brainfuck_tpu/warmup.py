@@ -489,7 +489,42 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
     return thunks
 
 
-def warmup(claim: Dict[str, int], config, max_workers: int | None = None) -> int:
+def ghost_tables(claim: Dict[str, int]) -> Dict[str, Dict[str, np.ndarray]]:
+    """Zero tables with the exact column names and sizes of a claim — the
+    pipeline's executables/shapes/shardings depend only on (claim, config),
+    never on table contents."""
+    from .components.defs import COMPONENT_CLASSES
+
+    tabs: Dict[str, Dict[str, np.ndarray]] = {}
+    for cls in COMPONENT_CLASSES:
+        if cls.name not in claim:
+            continue
+        comp = cls(claim[cls.name])
+        tabs[cls.name] = {c: np.zeros(1 << comp.log_size, np.uint32)
+                          for c in comp.columns}
+    return tabs
+
+
+def ghost_prove(claim: Dict[str, int], config, mesh=None) -> None:
+    """Warm by running the COMPLETE prove pipeline on zero tables (the LogUp
+    balance check is skipped; everything else — transcript, commitments,
+    composition, quotients, FRI, PoW, decommitment — runs for real). Every
+    executable, pytree structure, and output sharding is then byte-exactly
+    the one a real prove of this claim dispatches.
+
+    This is the MESH warmup: under a mesh the executables are shard_map
+    wrappers whose input/output shardings chain through the pipeline, so
+    AOT-enumerating them per signature would duplicate the pipeline; one
+    ghost prove covers them all (tests/test_warmup.py pins zero residual
+    compiles). Single-chip warmup keeps the AOT enumeration (loading without
+    executing is what the TPU-relay cold path needs)."""
+    from . import air
+
+    air._prove_tables(ghost_tables(claim), config, mesh=mesh, ghost=True)
+
+
+def warmup(claim: Dict[str, int], config, max_workers: int | None = None,
+           mesh=None) -> int:
     """Precompile/preload the pipeline's executables. Returns the number of
     warm thunks executed. Safe to skip — missing shapes simply compile
     inline during the prove.
@@ -500,6 +535,12 @@ def warmup(claim: Dict[str, int], config, max_workers: int | None = None) -> int
     warmup."""
     import os
     import time
+
+    if mesh is not None:
+        t0 = time.time()
+        ghost_prove(claim, config, mesh=mesh)
+        log.info("mesh warmup (ghost prove) in %.1f s", time.time() - t0)
+        return 1
 
     aot = os.environ.get("STWO_BF_WARMUP_AOT", "1") != "0"
     if max_workers is None:

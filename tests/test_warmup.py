@@ -48,3 +48,41 @@ def test_aot_warmup_prove_has_zero_residual_compiles(monkeypatch):
         f"{len(events)} executables compiled/loaded during a warmed prove: "
         f"{sorted(set(events))[:10]}")
     air.verify_brainfuck(proof)
+
+
+def test_ghost_prove_mesh_warmup_has_zero_residual_compiles(monkeypatch):
+    """Mesh warmup = ghost prove (zero tables through the COMPLETE sharded
+    pipeline): a subsequent real mesh prove of the same claim must compile
+    or cache-load nothing."""
+    from stwo_brainfuck_tpu.parallel.mesh import make_mesh
+
+    events = []
+    orig_read = comp._cache_read
+    orig_write = comp._compile_and_write_cache
+
+    def patched_read(module_name, cache_key, *a, **k):
+        events.append(("read", module_name))
+        return orig_read(module_name, cache_key, *a, **k)
+
+    def patched_write(backend, computation, *a, **k):
+        events.append(("compile", str(getattr(computation, "name", "?"))))
+        return orig_write(backend, computation, *a, **k)
+
+    monkeypatch.setattr(comp, "_cache_read", patched_read)
+    monkeypatch.setattr(comp, "_compile_and_write_cache", patched_write)
+
+    m = create_test_machine(compile_program("+++>,<[>+.<-]"), b"\x01")
+    m.execute()
+    tabs = T.all_tables(m.trace(), m.program())
+    claim = {k: int(np.log2(len(next(iter(v.values())))))
+             for k, v in tabs.items()}
+    mesh = make_mesh(8)
+    cfg = PcsConfig(log_max_rows=0)
+    warmup.warmup(claim, cfg, mesh=mesh)
+
+    events.clear()
+    proof = air.prove_brainfuck(m, cfg, mesh=mesh)
+    assert events == [], (
+        f"{len(events)} executables compiled/loaded during a warmed mesh "
+        f"prove: {sorted(set(events))[:10]}")
+    air.verify_brainfuck(proof)
