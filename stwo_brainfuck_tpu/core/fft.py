@@ -114,16 +114,19 @@ _DEV_TW_CACHE: dict = {}
 
 def _device_twiddles(n: int):
     """Device copies of the twiddle stacks (created eagerly, passed as jit
-    arguments — never baked as constants, never re-uploaded per call)."""
+    arguments — never baked as constants, never re-uploaded per call).
+    All 2n stage arrays ride ONE upload RPC (per-array jnp.asarray costs a
+    TPU-relay round trip each)."""
     if n not in _DEV_TW_CACHE:
+        from ..utils.transfer import upload_many
+
         t = get_twiddles(n)
         # eager even if first touched inside a jit trace (a traced creation
         # would cache tracers and leak)
         with jax.ensure_compile_time_eval():
-            _DEV_TW_CACHE[n] = (
-                tuple(jnp.asarray(x) for x in t.fwd),
-                tuple(jnp.asarray(x) for x in t.inv),
-            )
+            devs = upload_many(list(t.fwd) + list(t.inv))
+        _DEV_TW_CACHE[n] = (tuple(devs[:len(t.fwd)]),
+                            tuple(devs[len(t.fwd):]))
     return _DEV_TW_CACHE[n]
 
 

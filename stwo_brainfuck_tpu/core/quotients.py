@@ -123,8 +123,10 @@ def _dev_points(log_size: int):
     """Device copies of the domain point coordinates (uploading them per
     accumulate call costs a multi-MB relay transfer per size)."""
     if log_size not in _DEV_POINTS:
+        from ..utils.transfer import upload_many
+
         xs, ys = domain_points_storage(log_size)
-        _DEV_POINTS[log_size] = (jnp.asarray(xs), jnp.asarray(ys))
+        _DEV_POINTS[log_size] = tuple(upload_many([xs, ys]))
     return _DEV_POINTS[log_size]
 
 

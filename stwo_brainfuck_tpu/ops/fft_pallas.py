@@ -106,11 +106,12 @@ _DEV_TABLES: dict = {}
 
 def _dev_tables(n: int, inverse: bool):
     if (n, inverse) not in _DEV_TABLES:
+        from ..utils.transfer import upload_many
+
         # eager even if first touched inside a jit trace (a traced creation
-        # would cache tracers and leak)
+        # would cache tracers and leak); one upload RPC for all 3 tables
         with jax.ensure_compile_time_eval():
-            _DEV_TABLES[(n, inverse)] = tuple(
-                jnp.asarray(t) for t in _tables(n, inverse))
+            _DEV_TABLES[(n, inverse)] = tuple(upload_many(_tables(n, inverse)))
     return _DEV_TABLES[(n, inverse)]
 
 

@@ -453,29 +453,88 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
     thunks.append(("pow", warm_pow))
 
     # --- host-side lru caches + their device copies ------------------------
-    # These are numpy precomputations (batch inverses, domain points, fold
-    # twiddle inverses, rotation permutations) plus the device constants the
-    # AOT lane no longer touches (twiddles, interaction permutations) that
-    # the first prove would otherwise pay inline. They run on a SEPARATE
-    # warmup lane: numpy releases the GIL, so they overlap the relay loads.
+    # Numpy precomputations (batch inverses, domain points, fold twiddle
+    # inverses, rotation permutations) plus EVERY device constant the
+    # pipeline needs (twiddle stacks, Pallas FFT tables, interaction
+    # permutations) — all shipped in ONE upload RPC + one split dispatch.
+    # Measured (2026-08-19): per-array jnp.asarray uploads cost a full relay
+    # round trip EACH (~1 s under load); the ~300 constants dominated the
+    # warmup wall (340 s of a 380 s warmup) while disk cache reads were
+    # only 13 s. They run on a SEPARATE warmup lane: numpy releases the
+    # GIL, so the host builds overlap the relay's executable loads.
     comp_sizes = sorted({c.log_size for c in layout.components})
     quot_sizes = sorted({m.log_size + blow
                          for metas in layout.trees for m in metas if m.shifts})
+    tw_sizes = sorted({n for c in layout.components
+                       for n in (c.log_size, c.log_size + blow)} | {comp_log})
+    pallas_keys = []  # (size, inverse) of the fused-transform tables
+    for lg in sorted({lg for lg, _spec in fft_shapes} | set(comp_sizes_blown)):
+        if fft._use_pallas(lg):
+            pallas_keys.append((lg, True))
+        if fft._use_pallas(lg + blow):
+            pallas_keys.append((lg + blow, False))
+    if fft._use_pallas(comp_log):
+        pallas_keys.append((comp_log, False))
+    pallas_keys = sorted(set(pallas_keys))
 
     def host_caches():
+        from .framework import component as fw
+        from .ops import fft_pallas
+        from .utils.transfer import upload_many
+
+        arrays: List[np.ndarray] = []
+        plan: List[tuple] = []
+
+        def want(arrs, assign):
+            plan.append((len(arrays), len(arrs), assign))
+            arrays.extend(arrs)
+
+        for n in tw_sizes:
+            if n in fft._DEV_TW_CACHE:
+                continue
+            t = fft.get_twiddles(n)
+            k = len(t.fwd)
+            want(list(t.fwd) + list(t.inv),
+                 lambda devs, n=n, k=k: fft._DEV_TW_CACHE.setdefault(
+                     n, (tuple(devs[:k]), tuple(devs[k:]))))
+        for key in pallas_keys:
+            if key in fft_pallas._DEV_TABLES:
+                continue
+            want(list(fft_pallas._tables(*key)),
+                 lambda devs, key=key: fft_pallas._DEV_TABLES.setdefault(
+                     key, tuple(devs)))
         for n in comp_sizes:
-            air._dev_rotation(n, blow, 1)
-            air._dev_vanishing_inv(n, n + blow)
-            _device_perm(n)
-            fft._device_twiddles(n)
-            fft._device_twiddles(n + blow)
-        fft._device_twiddles(comp_log)
+            if (n, blow, 1) not in air._DEV_ROT:
+                want([air.rotation_permutation(n, blow, 1)],
+                     lambda devs, k=(n, blow, 1):
+                     air._DEV_ROT.setdefault(k, devs[0]))
+            if (n, n + blow) not in air._DEV_VINV:
+                want([air._vanishing_inv(n, n + blow)],
+                     lambda devs, k=(n, n + blow):
+                     air._DEV_VINV.setdefault(k, devs[0]))
+            if n not in fw._DEV_PERM_CACHE:
+                want([fft.coset_order_permutation(n)],
+                     lambda devs, n=n:
+                     fw._DEV_PERM_CACHE.setdefault(n, devs[0]))
         for s in quot_sizes:
-            quotients._dev_points(s)
-        for s in sorted(input_sizes, reverse=True):
-            fri._dev_itw("c", s)
-        for m_ in range(max_log - 1, fri.LOG_LAST_LAYER, -1):
-            fri._dev_itw("l", m_)
+            if s not in quotients._DEV_POINTS:
+                xs, ys = quotients.domain_points_storage(s)
+                want([xs, ys],
+                     lambda devs, s=s:
+                     quotients._DEV_POINTS.setdefault(s, tuple(devs)))
+        itw_keys = [("c", s) for s in sorted(input_sizes, reverse=True)]
+        itw_keys += [("l", m_)
+                     for m_ in range(max_log - 1, fri.LOG_LAST_LAYER, -1)]
+        for kind, s in itw_keys:
+            if (kind, s) in fri._DEV_ITW:
+                continue
+            host = fri._circle_fold_itw(s) if kind == "c" else fri._line_fold_itw(s)
+            want([host],
+                 lambda devs, k=(kind, s): fri._DEV_ITW.setdefault(k, devs[0]))
+
+        devs = upload_many(arrays)
+        for start, cnt, assign in plan:
+            assign(devs[start:start + cnt])
 
     thunks.append(("host_caches", host_caches))
     # Longest loads first (minimizes the pool makespan): the constraint
