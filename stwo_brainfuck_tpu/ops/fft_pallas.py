@@ -101,6 +101,36 @@ def _tables(n: int, inverse: bool):
     return _tables_from_stages(tw.inv if inverse else tw.fwd, n)
 
 
+@lru_cache(maxsize=24)
+def _row_tables(n: int, inverse: bool):
+    """Host (twr1, twr2) only — the compact row-stage tables."""
+    twr1, twr2, _ = _tables(n, inverse)
+    return twr1, twr2
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _expand_twl_jit(stages: tuple, n: int):
+    """Expand the 7 compact lane-stage twiddle arrays (st[L], length
+    2^(n-1-L)) into the (A1, 7, A2, 128) per-element table ON DEVICE:
+    element j's stage-L twiddle is st[L][j >> (L+1)], i.e. each entry
+    repeated 2^(L+1) times. Uploading the expanded table cost 28·2^n bytes
+    per (size, direction) — 156 MB of the fib19 warmup's constant batch —
+    vs 4·2^n compact."""
+    A1, A2, _, _ = _plan(n)
+    outs = []
+    for L in range(_LOG_LANES):
+        full = jnp.repeat(stages[L], 1 << (L + 1))
+        outs.append(full.reshape(A1, A2, _LANES))
+    return jnp.stack(outs, axis=1)
+
+
+def lane_stage_hosts(n: int, inverse: bool):
+    """The 7 compact host lane-stage arrays feeding _expand_twl_jit."""
+    tw = fft.get_twiddles(n)
+    st = tw.inv if inverse else tw.fwd
+    return [np.asarray(st[L]) for L in range(_LOG_LANES)]
+
+
 _DEV_TABLES: dict = {}
 
 
@@ -109,10 +139,22 @@ def _dev_tables(n: int, inverse: bool):
         from ..utils.transfer import upload_many
 
         # eager even if first touched inside a jit trace (a traced creation
-        # would cache tracers and leak); one upload RPC for all 3 tables
+        # would cache tracers and leak); one upload RPC for the compact
+        # tables, lane table expanded on device
         with jax.ensure_compile_time_eval():
-            _DEV_TABLES[(n, inverse)] = tuple(upload_many(_tables(n, inverse)))
+            twr1, twr2 = _row_tables(n, inverse)
+            devs = upload_many([twr1, twr2] + lane_stage_hosts(n, inverse))
+            twl = _expand_twl_jit(tuple(devs[2:]), n)
+            _DEV_TABLES[(n, inverse)] = (devs[0], devs[1], twl)
     return _DEV_TABLES[(n, inverse)]
+
+
+def set_dev_tables(n: int, inverse: bool, twr1, twr2, lane_stages) -> None:
+    """Populate the device-table cache from already-uploaded compact pieces
+    (warmup's batched-constant lane)."""
+    if (n, inverse) not in _DEV_TABLES:
+        _DEV_TABLES[(n, inverse)] = (
+            twr1, twr2, _expand_twl_jit(tuple(lane_stages), n))
 
 
 def _bf_fwd(x, t, s, sel, axis):

@@ -490,7 +490,10 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             arrays.extend(arrs)
 
         for n in tw_sizes:
-            if n in fft._DEV_TW_CACHE:
+            # sizes the fused Pallas transform handles never touch the
+            # staged-XLA twiddle stacks on the prove path — uploading them
+            # was ~33 MB of dead constants on TPU
+            if n in fft._DEV_TW_CACHE or fft._use_pallas(n):
                 continue
             t = fft.get_twiddles(n)
             k = len(t.fwd)
@@ -500,9 +503,12 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
         for key in pallas_keys:
             if key in fft_pallas._DEV_TABLES:
                 continue
-            want(list(fft_pallas._tables(*key)),
-                 lambda devs, key=key: fft_pallas._DEV_TABLES.setdefault(
-                     key, tuple(devs)))
+            # compact pieces only: the (A1, 7, A2, 128) lane table (7x the
+            # transform bytes) is expanded on device by set_dev_tables
+            want(list(fft_pallas._row_tables(*key))
+                 + fft_pallas.lane_stage_hosts(*key),
+                 lambda devs, key=key: fft_pallas.set_dev_tables(
+                     *key, devs[0], devs[1], devs[2:]))
         for n in comp_sizes:
             if (n, blow, 1) not in air._DEV_ROT:
                 want([air.rotation_permutation(n, blow, 1)],
