@@ -365,10 +365,16 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
 
     log.info("Phase 1: main trace")
     mix_claim(channel, claim)
-    # one host->device upload per component (shared with phase 2)
+    # ONE host->device upload RPC for all 13 component matrices (each eager
+    # per-component jnp.asarray is a full relay round trip, ~0.1-1 s under
+    # load); shared with phase 2
+    from .utils.transfer import upload_many
+
+    host_mats = [np.stack([tabs[comp.name][c] for c in comp.columns])
+                 for comp in comps]
+    dev_mats = upload_many(host_mats)
     dev_tabs: Dict[str, Dict[str, jnp.ndarray]] = {}
-    for comp in comps:
-        mat = jnp.asarray(np.stack([tabs[comp.name][c] for c in comp.columns]))
+    for comp, mat in zip(comps, dev_mats):
         # deferred rows: consumer executables slice the uploaded matrix
         # (eager mat[i] is one lax.slice executable per (shape, row)) —
         # the sharded executables resolve RowRefs in their jit wrappers too

@@ -56,6 +56,19 @@ def _split_jit(buf: jnp.ndarray, specs: tuple) -> tuple:
     return tuple(out)
 
 
+def split_specs(shapes_dtypes: Sequence[tuple]) -> tuple:
+    """(specs, total_words) for _split_jit from [(shape, dtype-name), ...] —
+    shared by upload_many and warmup (which AOT-lowers the prove-time split
+    signature without materializing the batch)."""
+    specs = []
+    off = 0
+    for shape, dt in shapes_dtypes:
+        size = int(np.prod(shape)) if shape else 1
+        specs.append((off, size, tuple(shape), dt))
+        off += size
+    return tuple(specs), off
+
+
 def upload_many(arrays: Sequence[np.ndarray]) -> List[jnp.ndarray]:
     """Materialize many host arrays on device with ONE upload RPC.
 
@@ -71,13 +84,9 @@ def upload_many(arrays: Sequence[np.ndarray]) -> List[jnp.ndarray]:
     if len(arrays) == 1:
         return [jnp.asarray(arrays[0])]
     views = []
-    specs = []
-    off = 0
     for a in arrays:
         assert a.dtype.itemsize == 4, a.dtype
-        v = np.ascontiguousarray(a).view(np.uint32).ravel()
-        views.append(v)
-        specs.append((off, v.size, tuple(a.shape), a.dtype.name))
-        off += v.size
+        views.append(np.ascontiguousarray(a).view(np.uint32).ravel())
+    specs, _ = split_specs([(a.shape, a.dtype.name) for a in arrays])
     buf = jnp.asarray(np.concatenate(views))
-    return list(_split_jit(buf, tuple(specs)))
+    return list(_split_jit(buf, specs))

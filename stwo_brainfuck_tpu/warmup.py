@@ -111,6 +111,21 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
 
         thunks.append(("inter", warm_inter))
 
+    # --- main-trace batched upload split -----------------------------------
+    # _prove_tables ships all 13 component matrices in ONE upload RPC; the
+    # device-side re-split is one executable keyed by the spec tuple
+    def warm_main_split():
+        from .utils import transfer
+
+        specs, total = transfer.split_specs(
+            [((len(c.columns), 1 << c.log_size), "uint32")
+             for c in layout.components])
+        # positional: a keyword static arg keys a DIFFERENT jit cache entry
+        # than upload_many's positional call
+        load(transfer._split_jit, _z(total), specs)
+
+    thunks.append(("main_split", warm_main_split))
+
     # --- constraint / union kernels ---------------------------------------
     # RowRef row indices are static aux data in the jit key, so union-group
     # members with different start rows compile separately — dedup by
