@@ -67,45 +67,63 @@ def memory_table(trace: np.ndarray, bucket: bool = False) -> Columns:
     clk_s, mp_s, mv_s = clk[order].astype(np.int64), mp[order].astype(np.int64), mv[order]
     d_s = np.zeros(len(clk_s), np.int64)
 
-    # clk-gap dummies between consecutive same-mp entries (table.rs:259-283)
+    # clk-gap dummies between consecutive same-mp entries (table.rs:259-283).
+    # A dummy block's clks lie strictly between its neighbours' (same mp), so
+    # interleaving each block right after its source row IS the
+    # (mp, clk, d)-sorted order — no second sort needed (the concatenate +
+    # lexsort form cost ~0.1 s/prove at fib19's 1M-row table).
     if len(clk_s) > 1:
         same = mp_s[1:] == mp_s[:-1]
-        gaps = np.where(same, clk_s[1:] - clk_s[:-1] - 1, 0)
-        gaps = np.maximum(gaps, 0)
+        gaps = np.maximum(np.where(same, clk_s[1:] - clk_s[:-1] - 1, 0), 0)
         total = int(gaps.sum())
         if total:
-            src = np.repeat(np.arange(len(gaps)), gaps)
-            # offset within each gap block: 1..gap
-            starts = np.concatenate([[0], np.cumsum(gaps)[:-1]])
-            off = np.arange(total) - np.repeat(starts, gaps) + 1
-            d_clk = clk_s[src] + off
-            d_mp = mp_s[src]
-            d_mv = mv_s[src]
-            clk_s = np.concatenate([clk_s, d_clk])
-            mp_s = np.concatenate([mp_s, d_mp])
-            mv_s = np.concatenate([mv_s, d_mv])
-            d_s = np.concatenate([d_s, np.ones(total, np.int64)])
-            order2 = np.lexsort((d_s, clk_s, mp_s))  # real rows before dummies on ties
-            clk_s, mp_s, mv_s, d_s = clk_s[order2], mp_s[order2], mv_s[order2], d_s[order2]
+            counts = np.concatenate([gaps, [0]]) + 1  # real row + its dummies
+            n = len(clk_s)
+            src = np.repeat(np.arange(n), counts)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            within = np.arange(n + total) - np.repeat(starts, counts)
+            clk_s = clk_s[src] + within
+            mp_s = mp_s[src]
+            mv_s = mv_s[src]
+            d_s = (within > 0).astype(np.int64)
 
-    # pad to power of two continuing the clk series (table.rs:291-303)
+    # pad to power of two continuing the clk series (table.rs:291-303), then
+    # pair with successor + appended dummy (clk+1, mp, mv) (table.rs:121-151).
+    # Built straight into uint32 output buffers: the concatenate-pair-mod
+    # form made ~6 extra full-table int64 copies (~0.07 s/prove at 1M rows).
+    # clk stays < 2^26 (steps capped at 2^24, gap/pad clks bounded by the max
+    # real clk + table length), so no mod-P reduction is needed.
     n = len(clk_s)
     target = _next_pow2_len(n, bucket)
     padn = target - n
+    clk_o = np.empty(target, np.uint32)
+    mp_o = np.empty(target, np.uint32)
+    mv_o = np.empty(target, np.uint32)
+    d_o = np.empty(target, np.uint32)
+    clk_o[:n] = clk_s
+    mp_o[:n] = mp_s
+    mv_o[:n] = mv_s
+    d_o[:n] = d_s
     if padn:
-        clk_s = np.concatenate([clk_s, clk_s[-1] + 1 + np.arange(padn)])
-        mp_s = np.concatenate([mp_s, np.full(padn, mp_s[-1])])
-        mv_s = np.concatenate([mv_s, np.full(padn, mv_s[-1])])
-        d_s = np.concatenate([d_s, np.ones(padn, np.int64)])
-
-    # pair with successor; appended dummy (clk+1, mp, mv) (table.rs:121-151)
-    nxt_clk = np.concatenate([clk_s[1:], [clk_s[-1] + 1]])
-    nxt_mp = np.concatenate([mp_s[1:], [mp_s[-1]]])
-    nxt_mv = np.concatenate([mv_s[1:], [mv_s[-1]]])
-    nxt_d = np.concatenate([d_s[1:], [1]])
+        clk_o[n:] = clk_s[-1] + 1 + np.arange(padn, dtype=np.uint32)
+        mp_o[n:] = mp_s[-1]
+        mv_o[n:] = mv_s[-1]
+        d_o[n:] = 1
+    nxt_clk = np.empty(target, np.uint32)
+    nxt_mp = np.empty(target, np.uint32)
+    nxt_mv = np.empty(target, np.uint32)
+    nxt_d = np.empty(target, np.uint32)
+    nxt_clk[:-1] = clk_o[1:]
+    nxt_clk[-1] = clk_o[-1] + 1
+    nxt_mp[:-1] = mp_o[1:]
+    nxt_mp[-1] = mp_o[-1]
+    nxt_mv[:-1] = mv_o[1:]
+    nxt_mv[-1] = mv_o[-1]
+    nxt_d[:-1] = d_o[1:]
+    nxt_d[-1] = 1
     return _pack(
         ["clk", "mp", "mv", "d", "next_clk", "next_mp", "next_mv", "next_d"],
-        [clk_s % P_INT, mp_s, mv_s, d_s, nxt_clk % P_INT, nxt_mp, nxt_mv, nxt_d],
+        [clk_o, mp_o, mv_o, d_o, nxt_clk, nxt_mp, nxt_mv, nxt_d],
     )
 
 
@@ -136,25 +154,30 @@ def instruction_table(trace: np.ndarray, program: List[int], bucket: bool = Fals
     ni = np.concatenate([p_ni, t_ni])
     clk = np.concatenate([p_clk, t_clk])
     order = np.lexsort((clk, ip))  # stable: program entries precede ties
-    ip, ci, ni = ip[order], ci[order], ni[order]
-    d = np.zeros(len(ip), np.int64)
-
-    n = len(ip)
+    n = len(order)
     target = _next_pow2_len(n, bucket)
-    padn = target - n
-    if padn:
-        ip = np.concatenate([ip, np.full(padn, ip[-1])])
-        ci = np.concatenate([ci, np.zeros(padn, np.int64)])
-        ni = np.concatenate([ni, np.zeros(padn, np.int64)])
-        d = np.concatenate([d, np.ones(padn, np.int64)])
-
-    nxt_ip = np.concatenate([ip[1:], [ip[-1]]])
-    nxt_ci = np.concatenate([ci[1:], [0]])
-    nxt_ni = np.concatenate([ni[1:], [0]])
-    nxt_d = np.concatenate([d[1:], [1]])
+    ip_o = np.empty(target, np.uint32)
+    ci_o = np.zeros(target, np.uint32)
+    ni_o = np.zeros(target, np.uint32)
+    d_o = np.zeros(target, np.uint32)
+    ip_o[:n] = ip[order]
+    ci_o[:n] = ci[order]
+    ni_o[:n] = ni[order]
+    ip_o[n:] = ip_o[n - 1]
+    d_o[n:] = 1
+    nxt_ip = np.empty(target, np.uint32)
+    nxt_ci = np.zeros(target, np.uint32)
+    nxt_ni = np.zeros(target, np.uint32)
+    nxt_d = np.empty(target, np.uint32)
+    nxt_ip[:-1] = ip_o[1:]
+    nxt_ip[-1] = ip_o[-1]
+    nxt_ci[:-1] = ci_o[1:]
+    nxt_ni[:-1] = ni_o[1:]
+    nxt_d[:-1] = d_o[1:]
+    nxt_d[-1] = 1
     return _pack(
         ["ip", "ci", "ni", "d", "next_ip", "next_ci", "next_ni", "next_d"],
-        [ip, ci, ni, d, nxt_ip, nxt_ci, nxt_ni, nxt_d],
+        [ip_o, ci_o, ni_o, d_o, nxt_ip, nxt_ci, nxt_ni, nxt_d],
     )
 
 
@@ -180,25 +203,28 @@ def program_table(program: List[int], bucket: bool = False) -> Columns:
 # ---------------------------------------------------------------------------
 
 def processor_table(trace: np.ndarray, bucket: bool = False) -> Columns:
-    cols = [trace[:, i].astype(np.int64) for i in range(7)]
-    clk, ip, ci, ni, mp, mv, mvi = cols
-    d = np.zeros(len(clk), np.int64)
-    target = _next_pow2_len(len(clk), bucket)
-    padn = target - len(clk)
-    if padn:
-        clk = np.concatenate([clk, clk[-1] + 1 + np.arange(padn)])
-        ip = np.concatenate([ip, np.full(padn, ip[-1])])
-        ci = np.concatenate([ci, np.zeros(padn, np.int64)])
-        ni = np.concatenate([ni, np.zeros(padn, np.int64)])
-        mp = np.concatenate([mp, np.zeros(padn, np.int64)])
-        mv = np.concatenate([mv, np.zeros(padn, np.int64)])
-        mvi = np.concatenate([mvi, np.zeros(padn, np.int64)])
-        d = np.concatenate([d, np.ones(padn, np.int64)])
-    nxt_clk = np.concatenate([clk[1:], [clk[-1] + 1]])
-    return _pack(
-        ["clk", "ip", "ci", "ni", "mp", "mv", "mvi", "d", "next_clk"],
-        [clk % P_INT, ip, ci, ni, mp, mv, mvi, d, nxt_clk % P_INT],
-    )
+    """Built straight into uint32 buffers (clk < 2^26, no reduction needed;
+    the concatenate-pad-mod form made ~10 full-table int64 copies)."""
+    n = len(trace)
+    target = _next_pow2_len(n, bucket)
+    names = ["clk", "ip", "ci", "ni", "mp", "mv", "mvi"]
+    out = {}
+    for i, name in enumerate(names):
+        col = np.zeros(target, np.uint32)
+        col[:n] = trace[:, i]
+        out[name] = col
+    if target > n:
+        out["clk"][n:] = int(trace[-1, 0]) + 1 + np.arange(target - n,
+                                                           dtype=np.uint32)
+        out["ip"][n:] = trace[-1, 1]
+    d = np.zeros(target, np.uint32)
+    d[n:] = 1
+    out["d"] = d
+    nxt_clk = np.empty(target, np.uint32)
+    nxt_clk[:-1] = out["clk"][1:]
+    nxt_clk[-1] = out["clk"][-1] + 1
+    out["next_clk"] = nxt_clk
+    return _pack(list(out), list(out.values()))
 
 
 # ---------------------------------------------------------------------------
@@ -212,9 +238,9 @@ def _opcode_entries(trace: np.ndarray, opcode: int) -> List[np.ndarray]:
     successor always exists)."""
     ci = trace[:-1, 2]
     sel = np.nonzero(ci == opcode)[0]
-    ent = np.empty((2 * len(sel), 7), np.int64)
-    ent[0::2] = trace[sel].astype(np.int64)
-    ent[1::2] = trace[sel + 1].astype(np.int64)
+    ent = np.empty((2 * len(sel), 7), np.uint32)
+    ent[0::2] = trace[sel]
+    ent[1::2] = trace[sel + 1]
     return ent
 
 
@@ -224,18 +250,17 @@ def _pad_entries(ent: np.ndarray, bucket: bool = False) -> Tuple[np.ndarray, np.
     The FINAL table has target/2 rows, so bucketing rounds the interleaved
     length to an odd log (= even row log)."""
     n = len(ent)
-    d = np.zeros(n, np.int64)
-    last_clk = ent[-1, 0] if n else 0
-    last_ip = ent[-1, 1] if n else 0
+    last_clk = int(ent[-1, 0]) if n else 0
+    last_ip = int(ent[-1, 1]) if n else 0
     target = 2 * _next_pow2_len(max(1, n) // 2 + (n % 2), bucket)
-    padn = target - n
-    if padn:
-        pad = np.zeros((padn, 7), np.int64)
-        pad[:, 0] = last_clk + np.arange(padn)
-        pad[:, 1] = last_ip
-        ent = np.concatenate([ent, pad]) if n else pad
-        d = np.concatenate([d, np.ones(padn, np.int64)])
-    return ent, d
+    out = np.zeros((target, 7), np.uint32)
+    out[:n] = ent
+    d = np.zeros(target, np.uint32)
+    if target > n:
+        out[n:, 0] = last_clk + np.arange(target - n, dtype=np.uint32)
+        out[n:, 1] = last_ip
+        d[n:] = 1
+    return out, d
 
 
 def opcode_table(trace: np.ndarray, opcode: int, bucket: bool = False) -> Columns:
@@ -243,9 +268,10 @@ def opcode_table(trace: np.ndarray, opcode: int, bucket: bool = False) -> Column
     ent, d = _pad_entries(_opcode_entries(trace, opcode), bucket)
     e1, e2 = ent[0::2], ent[1::2]
     d1 = d[0::2]
+    # clk < 2^26 (steps capped at 2^24, pad clks bounded) — already reduced
     return _pack(
         ["clk", "ip", "ci", "ni", "mp", "mv", "mvi", "d", "next_ip", "next_mp", "next_mv"],
-        [e1[:, 0] % P_INT, e1[:, 1], e1[:, 2], e1[:, 3], e1[:, 4], e1[:, 5], e1[:, 6],
+        [e1[:, 0], e1[:, 1], e1[:, 2], e1[:, 3], e1[:, 4], e1[:, 5], e1[:, 6],
          d1, e2[:, 1], e2[:, 4], e2[:, 5]],
     )
 
@@ -261,8 +287,8 @@ def jump_table(trace: np.ndarray, opcode: int, bucket: bool = False) -> Columns:
     return _pack(
         ["clk", "ip", "ci", "ni", "mp", "mv", "mvi", "next_clk", "next_ip",
          "next_mp", "next_mv", "d", "is_mv_zero"],
-        [e1[:, 0] % P_INT, e1[:, 1], e1[:, 2], e1[:, 3], e1[:, 4], e1[:, 5], e1[:, 6],
-         e2[:, 0] % P_INT, e2[:, 1], e2[:, 4], e2[:, 5], d1, is_mv_zero],
+        [e1[:, 0], e1[:, 1], e1[:, 2], e1[:, 3], e1[:, 4], e1[:, 5], e1[:, 6],
+         e2[:, 0], e2[:, 1], e2[:, 4], e2[:, 5], d1, is_mv_zero],
     )
 
 
