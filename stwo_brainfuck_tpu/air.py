@@ -189,6 +189,65 @@ def _combine_eval(coeffs_list: tuple, comp_log: int, aot: bool = False):
     return _combine_eval_jit(*args, comp_log)
 
 
+# Successor columns derivable on device from their (padded) cur columns:
+# next[i] = cur[i+1], with the table builders' last-element conventions
+# (tables.py memory/instruction/processor pairing: "inc" = cur[-1]+1,
+# "hold" = cur[-1], "zero"/"one" = constants). Everything else (per-opcode
+# e2 columns, d flags, is_mv_zero) carries independent data and uploads.
+DERIVED_NEXT = {
+    "memory": {"next_clk": ("clk", "inc"), "next_mp": ("mp", "hold"),
+               "next_mv": ("mv", "hold"), "next_d": ("d", "one")},
+    "instruction": {"next_ip": ("ip", "hold"), "next_ci": ("ci", "zero"),
+                    "next_ni": ("ni", "zero"), "next_d": ("d", "one")},
+    "processor": {"next_clk": ("clk", "inc")},
+}
+
+
+def main_upload_layout(comps) -> tuple:
+    """Static layout for _main_mats_jit: per component
+    (offset, kept_cols, full_cols, derive, N). Shared by the prove path and
+    warmup (which AOT-loads the executable from the claim alone)."""
+    layout = []
+    off = 0
+    for comp in comps:
+        derive = DERIVED_NEXT.get(comp.name, {})
+        kept = tuple(c for c in comp.columns if c not in derive)
+        n = 1 << comp.log_size
+        layout.append((off, kept, tuple(comp.columns),
+                       tuple(sorted(derive.items())), n))
+        off += len(kept) * n
+    return tuple(layout), off
+
+
+def _main_upload(tabs, comps):
+    layout, total = main_upload_layout(comps)
+    views = []
+    for comp, (_, kept, _, _, _) in zip(comps, layout):
+        for c in kept:
+            views.append(tabs[comp.name][c])
+    buf = jnp.asarray(np.concatenate(views))
+    assert buf.size == total
+    return buf, layout
+
+
+@partial(jax.jit, static_argnames=("layout",))
+def _main_mats_jit(buf, layout: tuple):
+    """Split the single uploaded buffer into per-component (n_cols, N)
+    matrices, deriving the next_* rows in-executable."""
+    outs = []
+    for off, kept, full, derive, n in layout:
+        m = jax.lax.slice(buf, (off,), (off + len(kept) * n,)).reshape(
+            len(kept), n)
+        rows = {name: m[i] for i, name in enumerate(kept)}
+        for name, (src, kind) in derive:
+            s = rows[src]
+            last = {"inc": s[-1] + np.uint32(1), "hold": s[-1],
+                    "zero": jnp.uint32(0), "one": jnp.uint32(1)}[kind]
+            rows[name] = jnp.roll(s, -1).at[-1].set(last)
+        outs.append(jnp.stack([rows[c] for c in full]))
+    return tuple(outs)
+
+
 @jax.jit
 def _acc_sum_jit(arrs: tuple):
     """Modular sum of same-size composition contributions in one executable
@@ -367,12 +426,12 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
     mix_claim(channel, claim)
     # ONE host->device upload RPC for all 13 component matrices (each eager
     # per-component jnp.asarray is a full relay round trip, ~0.1-1 s under
-    # load); shared with phase 2
-    from .utils.transfer import upload_many
-
-    host_mats = [np.stack([tabs[comp.name][c] for c in comp.columns])
-                 for comp in comps]
-    dev_mats = upload_many(host_mats)
+    # load), with the successor columns DERIVED on device: next_* are a
+    # roll-by-one of their padded cur columns plus a last-element fixup
+    # (tables.py builds them exactly that way), so shipping them wastes
+    # ~21 MB of fib19's ~55 MB phase-1 upload. Shared with phase 2.
+    buf, layout_spec = _main_upload(tabs, comps)
+    dev_mats = _main_mats_jit(buf, layout_spec)
     dev_tabs: Dict[str, Dict[str, jnp.ndarray]] = {}
     for comp, mat in zip(comps, dev_mats):
         # deferred rows: consumer executables slice the uploaded matrix

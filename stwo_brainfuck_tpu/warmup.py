@@ -111,18 +111,15 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
 
         thunks.append(("inter", warm_inter))
 
-    # --- main-trace batched upload split -----------------------------------
-    # _prove_tables ships all 13 component matrices in ONE upload RPC; the
-    # device-side re-split is one executable keyed by the spec tuple
+    # --- main-trace batched upload split + next_* derivation ---------------
+    # _prove_tables ships the 13 component matrices (minus device-derivable
+    # next_* rows) in ONE upload RPC; the split-and-derive is one executable
+    # keyed by the layout tuple
     def warm_main_split():
-        from .utils import transfer
-
-        specs, total = transfer.split_specs(
-            [((len(c.columns), 1 << c.log_size), "uint32")
-             for c in layout.components])
+        spec, total = air.main_upload_layout(layout.components)
         # positional: a keyword static arg keys a DIFFERENT jit cache entry
-        # than upload_many's positional call
-        load(transfer._split_jit, _z(total), specs)
+        # than the prove-time positional call
+        load(air._main_mats_jit, _z(total), spec)
 
     thunks.append(("main_split", warm_main_split))
 

@@ -45,10 +45,11 @@ def test_split_specs_matches_upload_many_layout():
         off += size
 
 
-def test_prove_and_warmup_agree_on_main_split_specs():
-    """The warmup thunk must AOT-load _split_jit with EXACTLY the spec tuple
-    _prove_tables derives from the built tables (shape bucketing included),
-    or the first prove pays a fresh compile through the relay."""
+def test_main_upload_derives_next_columns_exactly():
+    """_main_mats_jit must reproduce the host table builders' next_* columns
+    bit-exactly from the reduced upload (roll-by-one + last-element fixups,
+    tables.py pairing semantics), and warmup's layout must equal the
+    prove-time layout or the first prove pays a fresh compile."""
     from stwo_brainfuck_tpu import air
     from stwo_brainfuck_tpu.components import tables as T
     from stwo_brainfuck_tpu.core.pcs import PcsConfig
@@ -62,11 +63,11 @@ def test_prove_and_warmup_agree_on_main_split_specs():
              for k, v in tabs.items()}
     layout = air.build_layout(claim, PcsConfig(log_max_rows=0))
 
-    warm_specs, warm_total = transfer.split_specs(
-        [((len(c.columns), 1 << c.log_size), "uint32")
-         for c in layout.components])
-    host_mats = [np.stack([tabs[c.name][col] for col in c.columns])
-                 for c in layout.components]
-    prove_specs, prove_total = transfer.split_specs(
-        [(a.shape, a.dtype.name) for a in host_mats])
-    assert warm_specs == prove_specs and warm_total == prove_total
+    buf, spec = air._main_upload(tabs, layout.components)
+    warm_spec, warm_total = air.main_upload_layout(layout.components)
+    assert spec == warm_spec and buf.size == warm_total
+
+    mats = air._main_mats_jit(buf, spec)
+    for comp, mat in zip(layout.components, mats):
+        host = np.stack([tabs[comp.name][c] for c in comp.columns])
+        np.testing.assert_array_equal(np.asarray(mat), host, err_msg=comp.name)
