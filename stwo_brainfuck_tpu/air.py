@@ -388,13 +388,23 @@ def prove_brainfuck(machine, config: Optional[PcsConfig] = None,
     trace = machine.trace()
     program = machine.program()
     log.debug("  trace materialized")
+    if mesh is None:
+        # device-side table build: the raw padded trace (+ tiny permutation
+        # arrays) is the only bulk upload; all 13 matrices are built on-chip
+        # in one executable, bit-identical to the host builders
+        from .components.device_build import build_meta
+
+        meta = build_meta(trace, program)
+        log.debug("  trace meta built")
+        return _prove_tables(None, config, mesh,
+                             trace_src=(trace, program, meta))
     tabs = tables_mod.all_tables(trace, program)
     log.debug("  tables built")
     return _prove_tables(tabs, config, mesh)
 
 
 def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
-                  ghost: bool = False) -> dict:
+                  ghost: bool = False, trace_src=None) -> dict:
     """The prove pipeline from built tables. ghost=True runs the COMPLETE
     pipeline on whatever tables are given without requiring a valid trace
     (the LogUp balance check is skipped) — warmup.ghost_prove uses this with
@@ -409,8 +419,11 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
         ops = ShardedOps(mesh)
     log = logging.getLogger("stwo_brainfuck_tpu")
 
-    claim = {name: int(np.log2(len(next(iter(cols.values())))))
-             for name, cols in tabs.items()}
+    if trace_src is not None:
+        claim = trace_src[2].claim
+    else:
+        claim = {name: int(np.log2(len(next(iter(cols.values())))))
+                 for name, cols in tabs.items()}
     layout = build_layout(claim, config)
     comps = layout.components
 
@@ -430,8 +443,14 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
     # roll-by-one of their padded cur columns plus a last-element fixup
     # (tables.py builds them exactly that way), so shipping them wastes
     # ~21 MB of fib19's ~55 MB phase-1 upload. Shared with phase 2.
-    buf, layout_spec = _main_upload(tabs, comps)
-    dev_mats = _main_mats_jit(buf, layout_spec)
+    if trace_src is not None:
+        from .components.device_build import build_device_tables
+
+        by_name = build_device_tables(trace_src[0], trace_src[2])
+        dev_mats = [by_name[comp.name] for comp in comps]
+    else:
+        buf, layout_spec = _main_upload(tabs, comps)
+        dev_mats = _main_mats_jit(buf, layout_spec)
     dev_tabs: Dict[str, Dict[str, jnp.ndarray]] = {}
     for comp, mat in zip(comps, dev_mats):
         # deferred rows: consumer executables slice the uploaded matrix

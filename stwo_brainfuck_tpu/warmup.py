@@ -111,17 +111,19 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
 
         thunks.append(("inter", warm_inter))
 
-    # --- main-trace batched upload split + next_* derivation ---------------
-    # _prove_tables ships the 13 component matrices (minus device-derivable
-    # next_* rows) in ONE upload RPC; the split-and-derive is one executable
-    # keyed by the layout tuple
-    def warm_main_split():
-        spec, total = air.main_upload_layout(layout.components)
-        # positional: a keyword static arg keys a DIFFERENT jit cache entry
-        # than the prove-time positional call
-        load(air._main_mats_jit, _z(total), spec)
+    # --- device table builder -----------------------------------------------
+    # prove_brainfuck ships the padded trace + permutations in ONE upload;
+    # the on-chip build of all 13 matrices is one executable keyed by the
+    # claim (every input shape is claim-derived)
+    def warm_table_build():
+        from .components import device_build as D
 
-    thunks.append(("main_split", warm_main_split))
+        total = sum(int(np.prod(s)) for _, s in D._layout(claim))
+        # positional statics: a keyword static arg keys a DIFFERENT jit
+        # cache entry than the prove-time positional call
+        load(D._build_tables_jit, _z(total), D.claim_key(claim))
+
+    thunks.append(("table_build", warm_table_build))
 
     # --- constraint / union kernels ---------------------------------------
     # RowRef row indices are static aux data in the jit key, so union-group
