@@ -154,10 +154,34 @@ class FriProver:
     max_log: int
 
 
+@jax.jit
+def _mix_draw2_jit(digest: jnp.ndarray, root: jnp.ndarray):
+    """Device Fiat-Shamir step: digest' = blake2s(digest || root); beta =
+    first 4 words of blake2s(digest' || counter0_le8) reduced mod p;
+    beta2 = beta^2. Bit-identical to Blake2sChannel.mix_root + draw_felt
+    (core/channel.py:37-70) — keeps the FRI root->beta transcript chain on
+    device so the layer loop enqueues with ZERO sync round trips."""
+    from . import blake2s, qm31
+    from .m31 import reduce_once
+
+    d2 = blake2s.hash_words(jnp.concatenate([digest, root])[None, :],
+                            n_bytes=64)[0]
+    blk = blake2s.hash_words(
+        jnp.concatenate([d2, jnp.zeros(2, jnp.uint32)])[None, :],
+        n_bytes=40)[0]
+    beta = reduce_once(blk[:4])
+    return d2, beta, qm31.mul(beta, beta)
+
+
 def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
     """inputs: circle-domain size log -> combined quotient (4, 2^log).
     Performs all folds, committing each intermediate line layer and mixing
     roots/last value into the channel.
+
+    Single-chip path: the per-layer root -> mix -> draw -> fold chain runs
+    with a DEVICE-resident channel digest (_mix_draw2_jit) and deferred root
+    pulls, so the whole commit phase is async dispatches plus one batched
+    pull at the end (the host loop paid a ~25 ms relay sync per layer).
 
     ops: optional multi-device backend (parallel.prove.ShardedOps); folds and
     layer commits then run sharded over the mesh with identical results."""
@@ -166,8 +190,8 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
     max_log = logs[0]
 
     if ops is None:
-        fold_c, fold_l, commit_layer = fold_circle, fold_line, _commit_layer
-    else:
+        return _fri_commit_device(inputs, channel, max_log)
+    if True:
         def fold_c(values, beta, log_size):
             return ops.fold(values, _dev_itw("c", log_size), beta)
 
@@ -189,10 +213,6 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
 
     def inject(cur, m):
         if m + 1 in inputs and m + 1 != max_log:
-            if ops is None:
-                return _fold_add_jit(
-                    inputs[m + 1], _dev_itw("c", m + 1),
-                    jnp.asarray(np.array(beta0, np.uint32)), cur)
             return ops.fold_add(inputs[m + 1], _dev_itw("c", m + 1),
                                 beta0, cur)
         return cur
@@ -212,13 +232,8 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
         beta = channel.draw_felt()
         if m - 1 > LOG_LAST_LAYER and m not in inputs:
             beta2 = qm31.h_mul(beta, beta)
-            if ops is None:
-                cur = _fold2_jit(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
-                                 jnp.asarray(np.array(beta, np.uint32)),
-                                 jnp.asarray(np.array(beta2, np.uint32)))
-            else:
-                cur = ops.fold2(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
-                                beta, beta2)
+            cur = ops.fold2(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
+                            beta, beta2)
             m -= 2
             continue
         cur = fold_l(cur, beta, m)
@@ -234,6 +249,72 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
     arr = np.asarray(cur)
     v0 = tuple(int(x) for x in arr[:, 0])
     last = v0
+    channel.mix_felts([last])
+
+    proof = FriProof(layer_roots=roots, last_layer_value=last)
+    return FriProver(
+        proof=proof, layers=layers, layer_evals=layer_evals,
+        layer_levels=layer_levels,
+        circle_fold_alpha=beta0, max_log=max_log,
+    )
+
+
+def _fri_commit_device(inputs: Dict[int, jnp.ndarray], channel,
+                       max_log: int) -> FriProver:
+    """Single-chip fri_commit with the Fiat-Shamir chain on device: every
+    layer's commit, mix, draw and fold is an async dispatch; the layer roots,
+    last value and final digest come back in ONE batched pull. Transcript
+    bytes are identical to the host loop (pinned by tests)."""
+    from . import blake2s
+    from ..utils.transfer import pull_all
+
+    beta0 = channel.draw_felt()  # circle fold coefficient for all injections
+    beta0_dev = jnp.asarray(np.array(beta0, np.uint32))
+    digest = jnp.asarray(np.frombuffer(channel.digest, dtype="<u4"))
+
+    cur = _fold_jit(inputs[max_log], _dev_itw("c", max_log), beta0_dev)
+    m = max_log - 1
+    layers: List[merkle.MerkleTree] = []
+    layer_evals: List[jnp.ndarray] = []
+    layer_levels: List[int] = []
+
+    def inject(cur, m):
+        if m + 1 in inputs and m + 1 != max_log:
+            return _fold_add_jit(inputs[m + 1], _dev_itw("c", m + 1),
+                                 beta0_dev, cur)
+        return cur
+
+    while m > LOG_LAST_LAYER:
+        cur = inject(cur, m)
+        tree = merkle.commit({m: cur}, pull_root=False)
+        layers.append(tree)
+        layer_evals.append(cur)
+        layer_levels.append(m)
+        digest, beta, beta2 = _mix_draw2_jit(digest, tree.layers[0][0])
+        if m - 1 > LOG_LAST_LAYER and m not in inputs:
+            cur = _fold2_jit(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
+                             beta, beta2)
+            m -= 2
+            continue
+        cur = _fold_jit(cur, _dev_itw("l", m), beta)
+        m -= 1
+        if m > LOG_LAST_LAYER:
+            cur = inject(cur, m)
+            cur = _fold_jit(cur, _dev_itw("l", m), beta2)
+            m -= 1
+
+    cur = inject(cur, m)
+
+    # ONE pull: every layer root + the last-layer value + the final digest
+    pulled = pull_all([t.layers[0][0] for t in layers] + [cur, digest])
+    roots: List[bytes] = []
+    for t, rw in zip(layers, pulled):
+        t.root = blake2s.digest_to_bytes(rw)
+        roots.append(t.root)
+    channel.digest = blake2s.digest_to_bytes(pulled[-1])
+    channel._counter = 1  # state after the final draw_felt
+    arr = pulled[len(layers)]
+    last = tuple(int(x) for x in arr[:, 0])
     channel.mix_felts([last])
 
     proof = FriProof(layer_roots=roots, last_layer_value=last)

@@ -114,8 +114,10 @@ class MerkleTree:
         return max(self.layers)
 
 
-def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
+def commit(columns_by_log: ColumnsByLog, pull_root: bool = True) -> MerkleTree:
     """Build the tree on device; only the 32-byte root leaves the device.
+    pull_root=False defers even that (root=None; the device digest stays at
+    layers[0][0]) — the FRI layer loop batches all its root pulls into one.
 
     columns_by_log values may be a list of (2^level,) columns or one
     (C, 2^level) matrix (preferred — avoids per-column slicing executables).
@@ -148,7 +150,8 @@ def commit(columns_by_log: ColumnsByLog) -> MerkleTree:
                 layers[k - i] = d
             prev = outs[-1]
 
-    root = blake2s.digest_to_bytes(np.asarray(layers[0][0]))
+    root = (blake2s.digest_to_bytes(np.asarray(layers[0][0]))
+            if pull_root else None)
     return MerkleTree(root=root, layers=layers,
                       columns_by_log=dict(columns_by_log),
                       column_matrix=col_matrix)

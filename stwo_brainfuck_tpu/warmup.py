@@ -310,6 +310,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
         if m > fri.LOG_LAST_LAYER:
             fold_sizes.add(m)
             m -= 1
+    fri_last_log = m  # cur's line log at loop exit (== m throughout)
     for lvl in layer_levels:
         tree_sigs.add(((lvl, 4),))
 
@@ -324,6 +325,14 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
         for s in sorted(fold2_sizes, reverse=True):
             load(fri._fold2_jit, _z(4, 1 << s), _z(1 << (s - 1)),
                  _z(1 << (s - 2)), one, one)
+        # device-resident FRI transcript: the mix+draw step and the final
+        # batched pull (layer roots + last value + digest)
+        load(fri._mix_draw2_jit, _z(8), _z(8))
+        from .utils import transfer
+
+        load(transfer._flatten_jit,
+             tuple([_z(8)] * len(layer_levels))
+             + (_z(4, 1 << fri_last_log), _z(8)))
 
     thunks.append(("folds", warm_folds))
 

@@ -168,3 +168,31 @@ def test_level_plan_chunks_shared_across_heights():
     p2 = {s[1:] for s in merkle.level_plan([(16, 4)]) if s[0] == "chain"}
     shared = p1 & p2
     assert shared, (p1, p2)
+
+
+def test_device_mix_draw_matches_host_channel():
+    """_mix_draw2_jit (the FRI loop's device-resident Fiat-Shamir step) must
+    be bit-identical to Blake2sChannel.mix_root + draw_felt."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stwo_brainfuck_tpu.core import qm31
+    from stwo_brainfuck_tpu.core.channel import Blake2sChannel
+    from stwo_brainfuck_tpu.core.fri import _mix_draw2_jit
+
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        start = rng.bytes(32)
+        root = rng.bytes(32)
+        ch = Blake2sChannel()
+        ch.digest = start
+        ch.mix_root(root)
+        beta_host = ch.draw_felt()
+
+        d2, beta, beta2 = _mix_draw2_jit(
+            jnp.asarray(np.frombuffer(start, dtype="<u4")),
+            jnp.asarray(np.frombuffer(root, dtype="<u4")))
+        assert np.asarray(d2, dtype="<u4").tobytes() == ch.digest
+        assert tuple(int(x) for x in np.asarray(beta)) == beta_host
+        exp2 = qm31.h_mul(beta_host, beta_host)
+        assert tuple(int(x) for x in np.asarray(beta2)) == exp2
