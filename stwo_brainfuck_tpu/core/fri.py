@@ -191,16 +191,16 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
 
     if ops is None:
         return _fri_commit_device(inputs, channel, max_log)
-    if True:
-        def fold_c(values, beta, log_size):
-            return ops.fold(values, _dev_itw("c", log_size), beta)
 
-        def fold_l(values, beta, line_log):
-            return ops.fold(values, _dev_itw("l", line_log), beta)
+    def fold_c(values, beta, log_size):
+        return ops.fold(values, _dev_itw("c", log_size), beta)
 
-        def commit_layer(values):
-            log = values.shape[1].bit_length() - 1
-            return ops.commit({log: values})
+    def fold_l(values, beta, line_log):
+        return ops.fold(values, _dev_itw("l", line_log), beta)
+
+    def commit_layer(values):
+        log = values.shape[1].bit_length() - 1
+        return ops.commit({log: values})
 
     beta0 = channel.draw_felt()  # circle fold coefficient for all injections
 
