@@ -35,7 +35,10 @@ _cache_dir = os.environ.get(
 )
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    # 0: cache EVERYTHING. ~27 sub-0.3s glue executables (flatten/gather/
+    # split/squeeze) recompiled in every fresh process (measured; through
+    # the relay a tiny compile is ~0.8 s vs a ~0.4 s cached load)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     # Pallas/Mosaic kernels embed Python source locations in the serialized
     # kernel payload (an opaque custom-call attribute that the cache key's
