@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from . import m31
 from .circle import CanonicCoset, points_at_indices
+from .rowref import dedup_jit
 
 P_INT = m31.P_INT
 
@@ -208,7 +209,7 @@ def _evaluate_body(coeffs: jnp.ndarray, fwd_tw, n: int) -> jnp.ndarray:
 _evaluate_jit = partial(jax.jit, static_argnames=("n",))(_evaluate_body)
 
 
-@partial(jax.jit, static_argnames=("n", "blow"))
+@partial(dedup_jit, static_argnums=(3, 4))
 def _extend_jit(values, inv_tw, fwd_tw_big, n: int, blow: int):
     """Fused interpolate -> zero-pad -> evaluate on the blown-up domain:
     one executable per (batch, size) instead of three plus eager pad glue

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from . import m31, qm31
 from .m31 import P_INT
+from .rowref import dedup_jit
 
 
 def sum_mod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -71,7 +72,7 @@ def half_bases_at_point(log_size: int, point) -> Tuple[np.ndarray, np.ndarray]:
     return build(factors[:lo]), build(factors[lo:])
 
 
-@jax.jit
+@dedup_jit
 def _sample_tensor_jit(rows: tuple, b_lo: jnp.ndarray, b_hi: jnp.ndarray):
     """Evaluate C coefficient rows at one QM31 point via the tensor-product
     basis split: out[:, c] = sum_hi b_hi * (sum_lo rows[c].(H,L) * b_lo).

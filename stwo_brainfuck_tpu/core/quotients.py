@@ -27,6 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .rowref import dedup_jit
 from . import m31, qm31
 from .circle import CanonicCoset
 from .fft import bit_reverse_indices
@@ -160,7 +161,7 @@ def _group_constants(members, alpha: tuple):
     return consts, weights, tuple(idxs)
 
 
-@partial(jax.jit, static_argnames=("idx_groups",))
+@partial(dedup_jit, static_argnums=(5,))
 def _accumulate_all_jit(cols: tuple, consts: jnp.ndarray, w: jnp.ndarray,
                         px: jnp.ndarray, py: jnp.ndarray, idx_groups: tuple):
     """ALL point groups of one commitment size in ONE executable: column

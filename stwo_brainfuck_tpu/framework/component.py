@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from ..core import m31, qm31
 from ..core.fft import coset_order_permutation
 from ..core.m31 import P_INT
-from ..core.rowref import as_row
+from ..core.rowref import as_row, dedup_jit
 
 
 # ---------------------------------------------------------------------------
@@ -359,7 +359,7 @@ def _build_interaction_fn(cls, log_size: int):
     size trigger slow XLA constant folding)."""
     comp = cls(log_size)
 
-    @jax.jit
+    @dedup_jit
     def fn(main_cols: Dict[str, jnp.ndarray], elements_dev: Dict[str, dict],
            perm: jnp.ndarray):
         main_cols = {k: as_row(v) for k, v in main_cols.items()}
@@ -462,7 +462,7 @@ def _union_constraints_fn(cls, log_size: int):
     comp = cls(log_size)  # representative: define_union_constraints lives on
     # the shared base class and reads only traced params, never subclass attrs
 
-    @jax.jit
+    @dedup_jit
     def fn(main_cols, interaction_cols, s_prev, is_first, claimed_sum,
            elements_dev, slot_weights, v_inv, params):
         main_cols, interaction_cols, s_prev = _normalize_inter(
@@ -505,7 +505,7 @@ def _constraints_fn(cls, log_size: int):
     contribution is one fused executable."""
     comp = cls(log_size)
 
-    @jax.jit
+    @dedup_jit
     def fn(main_cols, interaction_cols, s_prev, is_first, claimed_sum,
            elements_dev, alpha_powers, v_inv):
         main_cols, interaction_cols, s_prev = _normalize_inter(

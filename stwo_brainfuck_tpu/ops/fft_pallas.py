@@ -43,13 +43,17 @@ import jax.numpy as jnp
 
 from ..core import fft
 from ..core.m31 import P_INT
+from ..core.rowref import dedup_jit
 from .m31_pallas import _mul_body, _on_tpu
 
 _LANES = 128
 _LOG_LANES = 7
 _MAX_LOG_A2 = 9     # pass-2 slab: up to (512, 128) = 256 KB in VMEM
 _SUB = 8            # pass-1 a2-chunk (one sublane tile)
-MIN_LOG, MAX_LOG = 11, 22
+# MAX_LOG 23 covers the near-capacity workloads' blown-up domains (a 2^22
+# table extends to 2^23; the staged-XLA fallback at that size scheduled
+# ~12 GB of HLO temps and was rejected by the AOT compiler)
+MIN_LOG, MAX_LOG = 11, 23
 
 
 def _addmod(a, b):
@@ -327,7 +331,7 @@ def _transform_jit(mat, twr1, twr2, twl, n: int, inverse: bool,
     return _transform_body(mat, twr1, twr2, twl, n, inverse, interpret)
 
 
-@partial(jax.jit, static_argnames=("n", "blow", "interpret"))
+@partial(dedup_jit, static_argnums=(3, 4, 5))
 def _extend_jit(values, ti, tf, n: int, blow: int, interpret: bool = False):
     """Fused interpolate -> zero-pad -> evaluate, Pallas passes inline in ONE
     executable (same contract as fft._extend_jit). `values` may be a tuple

@@ -178,24 +178,30 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             by_level[lg + blow] = cnt
         tree_sigs.add(tuple(sorted(by_level.items())))
 
-    # tree1: per size, columns grouped from per-component (k, N) matrices
+    # Spec entries are (base_key, C, r): base_key tracks WHICH device matrix
+    # each RowRef slices so warmup reproduces the prove's base-identity
+    # grouping exactly — dedup_jit folds shared bases into one executable
+    # parameter, so base sharing is part of the jit cache key now.
+    # tree1: per size, columns from per-component built matrices
     by_size1: Dict[int, list] = {}
-    for comp in layout.components:
+    for ci_comp, comp in enumerate(layout.components):
         k = len(comp.columns)
         by_size1.setdefault(comp.log_size, []).extend(
-            (k, i) for i in range(k))
+            (("c", ci_comp), k, i) for i in range(k))
     for lg, spec in by_size1.items():
         fft_shapes.add((lg, tuple(spec)))
-    # tree2: per size, RowRefs into consecutive (4, N) interaction outputs
+    # tree2: per size, RowRefs into per-(component, relation) (4, N) outputs
     by_size2: Dict[int, list] = {}
-    for comp in layout.components:
+    for ci_comp, comp in enumerate(layout.components):
         n_inter = comp.relation_count() + 1
         by_size2.setdefault(comp.log_size, []).extend(
-            (4, c) for _ in range(n_inter) for c in range(4))
+            (("q", ci_comp, q), 4, c) for q in range(n_inter)
+            for c in range(4))
     for lg, spec in by_size2.items():
         fft_shapes.add((lg, tuple(spec)))
-    # tree3: the 4 coordinate rows of the composition evaluation
-    fft_shapes.add((layout.composition_log, ((4, 0), (4, 1), (4, 2), (4, 3))))
+    # tree3: the 4 coordinate rows of the one composition evaluation
+    fft_shapes.add((layout.composition_log,
+                    tuple((("t3",), 4, c) for c in range(4))))
 
     # tree0 (is_first ladder) uses the closed-form kernels, not CFFT —
     # AOT-load them per ladder size (coeffs, extension, level-matrix reshape)
@@ -215,8 +221,8 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
 
         def warm_fft(lg=lg, spec=spec):
             mats = {}
-            cols = tuple(RowRef(mats.setdefault(C, _z(C, 1 << lg)), r)
-                         for C, r in spec)
+            cols = tuple(RowRef(mats.setdefault(key, _z(C, 1 << lg)), r)
+                         for key, C, r in spec)
             out = fft.extend_with_coeffs(cols, lg, blow, aot=aot)
             if not aot:
                 jax.block_until_ready(out[1])
@@ -267,7 +273,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
     # direct ladder columns; ("a",) marks an array member in the spec
     sample_specs = set()
     for (lg, _s), members in air.sampling_plan(layout).items():
-        spec = tuple(("a",) if ti == 0 else rec_rows[ti][ci]
+        spec = tuple(("a",) if ti == 0 else (ti,) + rec_rows[ti][ci]
                      for ti, ci, _pi in members)
         sample_specs.add((lg, spec))
     for lg, spec in sorted(sample_specs, key=repr):
@@ -280,9 +286,9 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
                 if s == ("a",):
                     rows.append(_z(1 << lg))
                 else:
-                    C, r = s
-                    mats.setdefault(C, _z(C, 1 << lg))
-                    rows.append(RowRef(mats[C], r))
+                    ti, C, r = s  # base identity = the per-tree level matrix
+                    mats.setdefault(ti, _z(C, 1 << lg))
+                    rows.append(RowRef(mats[ti], r))
             lo = lg // 2
             load(poly._sample_tensor_jit, tuple(rows),
                  _z(4, 1 << lo), _z(4, 1 << (lg - lo)))
@@ -440,7 +446,8 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             if not meta.shifts:
                 continue
             size_members.setdefault(meta.log_size + blow, []).append(
-                (("a",) if ti == 0 else rec_rows[ti][ci], meta.shifts))
+                (("a",) if ti == 0 else (ti,) + rec_rows[ti][ci],
+                 meta.shifts))
 
     for s, members in sorted(size_members.items(), reverse=True):
         g0 = tuple(range(len(members)))
@@ -456,9 +463,9 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
                 if sp == ("a",):
                     cols.append(_z(1 << s))
                 else:
-                    C, r = sp
-                    mats.setdefault(C, _z(C, 1 << s))
-                    cols.append(RowRef(mats[C], r))
+                    ti, C, r = sp  # base identity = the per-tree ext matrix
+                    mats.setdefault(ti, _z(C, 1 << s))
+                    cols.append(RowRef(mats[ti], r))
             load(quotients._accumulate_all_jit, tuple(cols),
                  jnp.ones((len(idx_groups), 5, 4), jnp.uint32),
                  _z(n_w, 4), _z(1 << s), _z(1 << s), idx_groups)

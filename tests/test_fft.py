@@ -222,3 +222,19 @@ def test_rotation_permutation_closed_form():
                          (6, 1, 3), (7, 3, 2), (4, 2, 5), (8, 1, 1)]:
         np.testing.assert_array_equal(
             rotation_permutation(log, blow, s), definitional(log, blow, s))
+
+
+def test_pallas_fft_top_size_interpret():
+    """MAX_LOG (the 2^23 blown-up domain of a 2^22 table) exercises the
+    deepest pass-1 stage count (n1 = 7); pin bit-exactness vs staged XLA."""
+    from stwo_brainfuck_tpu.ops import fft_pallas
+
+    log = fft_pallas.MAX_LOG
+    rng = np.random.default_rng(9)
+    vals = jnp.asarray(rng.integers(0, P_INT, (1, 1 << log), dtype=np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(fft_pallas.evaluate(vals, log, interpret=True)),
+        np.asarray(fft.evaluate(vals, log)))
+    np.testing.assert_array_equal(
+        np.asarray(fft_pallas.interpolate(vals, log, interpret=True)),
+        np.asarray(fft.interpolate(vals, log)))
