@@ -1,9 +1,24 @@
 """Benchmark: end-to-end proofs of the reference's bundled programs.
 
 Runs on the default JAX platform (the real TPU chip under the driver; set
-STWO_BF_PLATFORM=cpu to force CPU). Prints ONE JSON line for the headline
-program (fib19.bf — the BASELINE.md workload), carrying the full bundled-
-program suite in the "suite" field.
+STWO_BF_PLATFORM=cpu to force CPU). Prints ONE COMPACT JSON line for the
+headline program (fib19.bf — the BASELINE.md workload) as the LAST stdout
+line; the full per-program suite detail is written to BENCH_SUITE.json and
+echoed to stderr.
+
+Budget discipline (round-3 postmortem, VERDICT.md): the driver runs this
+under a timeout, and round 3 starved the headline by warming 10 programs
+serially and embedding a >4 KB suite dict in the final JSON line (which the
+driver's tail parser could not recover even at rc=0 — BENCH_r02 rc=0 /
+parsed=null). This version therefore:
+  1. runs the HEADLINE first (warmup -> prove -> verify -> warm proves);
+  2. walks the suite under a wall-clock budget (BENCH_BUDGET_S, default
+     1500 s), skipping programs that no longer fit and gating big22 behind
+     the largest reserve;
+  3. warms the UNION of suite claims via a shared thunk-key set (each shape
+     paid once, warmup(seen=...));
+  4. keeps the final JSON line short (< ~2 KB) and prints it exactly once —
+     also on SIGTERM/SIGALRM, so even a timeout records the headline.
 
 Baseline semantics: the reference publishes no numbers (BASELINE.md) and the
 Rust toolchain is absent from this image, so NO measured Rust baseline
@@ -13,22 +28,40 @@ framework's own round-1 first build (.bench_baseline.json), duplicated as
 reference comparison.
 
 Env:
-  BENCH_PROGRAM=fib19|collatz|...|m31   headline program (m31 = field bench)
-  BENCH_SUITE=0                         skip the per-program suite
+  BENCH_PROGRAM=fib19|collatz|...|m31|fft  headline program (m31/fft = micro)
+  BENCH_SUITE=0                            skip the per-program suite
+  BENCH_BUDGET_S=1500                      wall-clock budget (seconds)
+  BENCH_BIG=0                              skip big22 regardless of budget
 """
 
 import json
 import logging
 import os
+import signal
 import sys
 import time
 
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
                     stream=sys.stderr)
 
+T_START = time.time()
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+# Suite order: cheapest first so a tight budget still covers the breadth of
+# the reference's bundled programs; big22 (repo-local synthetic, 2^22-row
+# tables — the near-capacity throughput regime) needs the largest reserve
+# and runs last; sierpinski is a MEASURED capacity refusal.
 SUITE = ["loop", "a-bc", "hello1", "hello2", "hello3", "hello4",
-         "hello_kakarot", "collatz", "fib19", "big22"]
+         "hello_kakarot", "collatz", "big22"]
 INPUTS = {"collatz": b"7\n", "a-bc": b"a"}
+# Conservative wall-clock reserve needed to attempt each program (warmup of
+# its novel shapes + first prove + 3 warm proves + 2 verifies), hot-cache.
+RESERVE_S = {"collatz": 120.0, "big22": 600.0, "sierpinski": 90.0}
+DEFAULT_RESERVE_S = 90.0
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - T_START)
 
 
 def program_path(program: str) -> str:
@@ -42,8 +75,7 @@ def program_path(program: str) -> str:
     return f"/root/reference/brainfuck_programs/{program}.bf"
 
 
-def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
-    from stwo_brainfuck_tpu.components import tables as tables_mod
+def run_program(program, air, warmup_mod, PcsConfig, warm_seen):
     from stwo_brainfuck_tpu.vm.compiler import compile_program
     from stwo_brainfuck_tpu.vm.machine import create_test_machine
 
@@ -56,16 +88,13 @@ def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
     trace_time = time.time() - t0
     steps = len(machine.trace())
 
-    warm_s = 0.0
-    if do_warmup:
-        import numpy as np
+    # claim from the device-build meta (cheap; also what prove will use)
+    from stwo_brainfuck_tpu.components.device_build import build_meta
 
-        tabs = tables_mod.all_tables(machine.trace(), machine.program())
-        claim = {name: int(np.log2(len(next(iter(cols.values())))))
-                 for name, cols in tabs.items()}
-        t0 = time.time()
-        warmup_mod.warmup(claim, PcsConfig(log_max_rows=0))
-        warm_s = time.time() - t0
+    claim = build_meta(machine.trace(), machine.program()).claim
+    t0 = time.time()
+    warmup_mod.warmup(claim, PcsConfig(log_max_rows=0), seen=warm_seen)
+    warm_s = time.time() - t0
 
     t0 = time.time()
     proof = air.prove_brainfuck(machine)
@@ -103,6 +132,28 @@ def run_program(program, air, warmup_mod, PcsConfig, do_warmup):
     }
 
 
+def measure_refusal(program, air):
+    """Attempt the prove and time the capacity refusal (VERDICT r3 weak #8:
+    the sierpinski entry used to be hardcoded; now it is produced by
+    execution — VM run + trace meta + the ProvingError from the claim)."""
+    from stwo_brainfuck_tpu.vm.compiler import compile_program
+    from stwo_brainfuck_tpu.vm.machine import create_test_machine
+
+    with open(program_path(program)) as f:
+        code = compile_program(f.read())
+    t0 = time.time()
+    machine = create_test_machine(code, INPUTS.get(program, b""))
+    machine.execute()
+    steps = len(machine.trace())
+    try:
+        air.prove_brainfuck(machine)
+    except air.ProvingError as exc:
+        return {"steps": steps,
+                "error": f"ProvingError: {exc}"[:160],
+                "refusal_s": round(time.time() - t0, 2)}
+    return {"steps": steps, "error": "expected ProvingError, prove succeeded"}
+
+
 def fft_benchmark(log_n: int = 18, batch: int = 8, k_lo: int = 8,
                   k_hi: int = 32) -> dict:
     """Sustained CFFT throughput in butterflies/s (a size-2^n transform does
@@ -113,9 +164,6 @@ def fft_benchmark(log_n: int = 18, batch: int = 8, k_lo: int = 8,
     forced by pulling a tiny slice; the reported rate is the slope between
     two loop counts. Through the axon relay, multi-dispatch timing loops
     measure enqueue rate, not compute (see m31_pallas.throughput_benchmark)."""
-    import time
-    from functools import partial
-
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -164,6 +212,63 @@ def fft_benchmark(log_n: int = 18, batch: int = 8, k_lo: int = 8,
     return out
 
 
+def compact_suite(results: dict) -> dict:
+    """Per-program one-liners for the final JSON line (< ~60 chars each);
+    full detail lives in BENCH_SUITE.json + stderr."""
+    out = {}
+    for name, r in results.items():
+        if "error" in r:
+            out[name] = {"error": r["error"][:80]}
+        elif "skipped" in r:
+            out[name] = {"skipped": r["skipped"]}
+        else:
+            out[name] = {"warm_s": r["warm_prove_s"], "khz": r["khz"],
+                         "ok": r.get("verified", False)}
+    return out
+
+
+_EMITTED = False
+
+
+def emit_final(head, results, program, partial=None):
+    """Print the one compact machine-readable line — exactly once, as the
+    last stdout line."""
+    global _EMITTED
+    if _EMITTED or head is None:
+        return
+    _EMITTED = True
+    vs_self = 1.0
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               ".bench_baseline.json")) as f:
+            base = json.load(f).get(f"{program}_prove_s")
+        if base:
+            vs_self = base / head["total_s"]
+    except (OSError, ValueError):
+        pass
+    line = json.dumps({
+        "metric": f"{program}.bf prove wall-clock (trace+proof, warm)",
+        "value": head["total_s"],
+        "unit": "s",
+        # SELF-relative (vs this framework's round-1 first build) — no Rust
+        # baseline can exist in this image; see module docstring.
+        "vs_baseline": round(vs_self, 3),
+        "baseline_kind": "round1_self",
+        "vs_round1_self": round(vs_self, 3),
+        "steps": head["steps"],
+        "proof_khz": head["khz"],
+        "warmup_s": head["warmup_s"],
+        "cold_prove_s": round(head["warmup_s"] + head["first_prove_s"], 1),
+        "verify_s": head["verify_s"],
+        "proof_bytes": head["proof_bytes"],
+        "elapsed_s": round(time.time() - T_START, 1),
+        "budget_s": BUDGET,
+        "partial": partial or "",
+        "suite": compact_suite(results),
+    })
+    print(line, flush=True)
+
+
 def main() -> int:
     platform = os.environ.get("STWO_BF_PLATFORM")
     if platform:
@@ -207,52 +312,70 @@ def main() -> int:
         return 0
 
     results = {}
-    head = run_program(program, air, warmup_mod, PcsConfig, do_warmup=True)
-    results[program] = head
-    print(f"# {program}: {head}", file=sys.stderr)
+    head_box = {"head": None}
 
+    def on_deadline(signum, frame):
+        # timeout backstop: record whatever completed, headline included
+        if head_box["head"] is None and signum == signal.SIGALRM:
+            # the headline itself overran the budget: the only useful move
+            # is to keep going (the driver's own timeout is the hard stop —
+            # dying now would record nothing)
+            signal.alarm(300)
+            return
+        emit_final(head_box["head"], results, program,
+                   partial=f"signal {signum} at {remaining():.0f}s remaining")
+        sys.stdout.flush()
+        os._exit(0 if head_box["head"] is not None else 1)
+
+    signal.signal(signal.SIGTERM, on_deadline)
+    signal.signal(signal.SIGALRM, on_deadline)
+    signal.alarm(max(60, int(BUDGET)))
+
+    warm_seen: set = set()
+    head = run_program(program, air, warmup_mod, PcsConfig, warm_seen)
+    head_box["head"] = head
+    results[program] = head
+    print(f"# {program}: {head}", file=sys.stderr, flush=True)
+
+    partial = []
     if os.environ.get("BENCH_SUITE", "1") != "0":
         for p in SUITE:
             if p == program or p in results:
                 continue
+            if p == "big22" and os.environ.get("BENCH_BIG", "1") == "0":
+                results[p] = {"skipped": "BENCH_BIG=0"}
+                continue
+            need = RESERVE_S.get(p, DEFAULT_RESERVE_S)
+            if remaining() < need:
+                results[p] = {"skipped": f"budget ({remaining():.0f}s left, "
+                                         f"need {need:.0f}s)"}
+                partial.append(p)
+                continue
             try:
-                # warmup is cheap here: shapes shared with the headline
-                # program return instantly from the jit cache
                 results[p] = run_program(p, air, warmup_mod, PcsConfig,
-                                         do_warmup=True)
+                                         warm_seen)
             except Exception as exc:  # e.g. capacity refusal
-                results[p] = {"error": f"{type(exc).__name__}: {exc}"}
-            print(f"# {p}: {results[p]}", file=sys.stderr)
-        results["sierpinski"] = {
-            "error": "ProvingError: exceeds the reference's 2^24 "
-                     "rows/component capacity (unprovable in both "
-                     "implementations)"}
+                results[p] = {"error": f"{type(exc).__name__}: {exc}"[:160]}
+            print(f"# {p}: {results[p]}", file=sys.stderr, flush=True)
+        # capacity refusal, measured by execution (not hardcoded)
+        if remaining() >= RESERVE_S["sierpinski"]:
+            results["sierpinski"] = measure_refusal("sierpinski", air)
+        else:
+            results["sierpinski"] = {"skipped": "budget"}
+            partial.append("sierpinski")
+        print(f"# sierpinski: {results['sierpinski']}", file=sys.stderr,
+              flush=True)
 
-    vs_self = 1.0
     try:
-        with open(os.path.join(os.path.dirname(__file__), ".bench_baseline.json")) as f:
-            base = json.load(f).get(f"{program}_prove_s")
-        if base:
-            vs_self = base / head["total_s"]
-    except FileNotFoundError:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "BENCH_SUITE.json"), "w") as f:
+            json.dump(results, f, indent=1)
+    except OSError:
         pass
 
-    print(json.dumps({
-        "metric": f"{program}.bf prove wall-clock (trace+proof, warm)",
-        "value": head["total_s"],
-        "unit": "s",
-        # SELF-relative (vs this framework's round-1 first build) — no Rust
-        # baseline can exist in this image; see module docstring.
-        "vs_baseline": round(vs_self, 3),
-        "baseline_kind": "round1_self",
-        "vs_round1_self": round(vs_self, 3),
-        "steps": head["steps"],
-        "proof_khz": head["khz"],
-        "cold_prove_s": round(head["warmup_s"] + head["first_prove_s"], 1),
-        "verify_s": head["verify_s"],
-        "proof_bytes": head["proof_bytes"],
-        "suite": results,
-    }))
+    signal.alarm(0)
+    emit_final(head, results, program,
+               partial=("skipped: " + ",".join(partial)) if partial else "")
     return 0
 
 

@@ -88,36 +88,100 @@ def _preproot_cache_path():
     return os.path.join(_cache_dir, "preprocessed_roots.json")
 
 
+def _root_cache_secret():
+    """Per-install MAC key for the preprocessed-root disk cache, created
+    0600 on first use. Returns None when the key cannot be read or created
+    (the cache is then disabled and every process recomputes the root)."""
+    import os
+
+    from . import _cache_dir
+
+    path = os.path.join(_cache_dir, "preprocessed_roots.key")
+    try:
+        with open(path, "rb") as f:
+            key = f.read()
+        if len(key) == 32:
+            return key
+    except OSError:
+        pass
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        key = os.urandom(32)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+        with os.fdopen(fd, "wb") as f:
+            f.write(key)
+        os.replace(tmp, path)
+        return key
+    except OSError:
+        return None
+
+
+def _roots_mac(secret: bytes, roots: dict) -> str:
+    import hashlib
+    import hmac
+    import json
+
+    blob = json.dumps(roots, sort_keys=True, separators=(",", ":")).encode()
+    return hmac.new(secret, blob, hashlib.sha256).hexdigest()
+
+
 @lru_cache(maxsize=8)
 def _preprocessed_root(ladder: tuple, log_blowup: int) -> bytes:
     """Root of the is_first ladder commitment, cached on DISK across
     processes: the verifier only needs the 32-byte root (witness hashes come
     from the proof), so a fresh verify-only process must not pay the full
     ladder recommit (~2 s of device work) that `_preprocessed_tree` costs.
-    The cache is trusted because this process (or a prior one as the same
-    user) computed it; the key is the exact (ladder, blowup) pair."""
+
+    SECURITY: this root is the verifier's EXPECTED value for the proof's
+    preprocessed commitment (a forged is_first column voids every boundary
+    constraint), so cache entries are integrity-protected: the file carries
+    an HMAC-SHA256 over the entry map, keyed by a per-install 0600 secret.
+    Any tamper — a rewritten root under the proof's exact key, a legacy
+    plain-dict file, a non-dict JSON — fails the MAC check and the root is
+    RECOMPUTED (fail closed; tests/test_security.py pins this). The residual
+    trust boundary is the local user account: an attacker with write access
+    to ~/.cache can also read the MAC key — the same boundary as the XLA
+    persistent compilation cache (docs/SECURITY.md)."""
+    import hmac
     import json
     import os
 
     key = f"{log_blowup}:" + ",".join(str(lg) for lg in ladder)
     path = _preproot_cache_path()
-    try:
-        with open(path) as f:
-            roots = json.load(f)
+    secret = _root_cache_secret()
+    roots: dict = {}
+    if secret is not None:
+        try:
+            with open(path) as f:
+                obj = json.load(f)
+            if (isinstance(obj, dict)
+                    and isinstance(obj.get("roots"), dict)
+                    and isinstance(obj.get("mac"), str)
+                    and all(isinstance(k, str) and isinstance(v, str)
+                            for k, v in obj["roots"].items())
+                    and hmac.compare_digest(
+                        obj["mac"], _roots_mac(secret, obj["roots"]))):
+                roots = obj["roots"]
+        except (OSError, ValueError):
+            pass
         if key in roots:
-            return bytes.fromhex(roots[key])
-    except (OSError, ValueError):
-        roots = {}
+            try:
+                return bytes.fromhex(roots[key])
+            except ValueError:
+                pass
     root = _preprocessed_tree(ladder, log_blowup).root
     roots[key] = root.hex()
-    try:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.{os.getpid()}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(roots, f)
-        os.replace(tmp, path)
-    except OSError:
-        pass
+    if secret is not None:
+        try:
+            tmp = f"{path}.{os.getpid()}.tmp"
+            fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"roots": roots,
+                           "mac": _roots_mac(secret, roots)}, f)
+            os.replace(tmp, path)
+        except OSError:
+            pass
     return root
 
 

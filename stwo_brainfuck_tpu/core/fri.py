@@ -311,8 +311,10 @@ def _fri_commit_device(inputs: Dict[int, jnp.ndarray], channel,
     for t, rw in zip(layers, pulled):
         t.root = blake2s.digest_to_bytes(rw)
         roots.append(t.root)
+    # The pulled digest is the post-mix state after the last layer root; the
+    # mix_felts below resets the draw counter, so no counter fixup is needed
+    # (transcript equality with the host loop is pinned by tests/test_fri.py).
     channel.digest = blake2s.digest_to_bytes(pulled[-1])
-    channel._counter = 1  # state after the final draw_felt
     arr = pulled[len(layers)]
     last = tuple(int(x) for x in arr[:, 0])
     channel.mix_felts([last])
@@ -345,7 +347,11 @@ def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
     for tree, evals, m in zip(prover.layers, prover.layer_evals, prover.layer_levels):
         positions = sorted({((q >> (prover.max_log - m)) & ~3) + j
                             for q in queries for j in range(4)})
-        dec = merkle.decommit_async(tree, positions, n_queries=n_q)
+        # witness hashes only: the layer values travel once, in
+        # proof.layer_values (Merkle-checked by fri_verify_queries); a copy
+        # inside the decommitment would be ignored bytes (~30 KB/proof)
+        dec = merkle.decommit_async(tree, positions, n_queries=n_q,
+                                    include_values=False)
         # gather shape pinned by n_q (positions <= 4*n_q), not the draw
         bound = min(1 << m, 1 << max(0, 4 * n_q - 1).bit_length())
         idx, _n = merkle._padded_idx(positions, bound)
@@ -402,6 +408,10 @@ def fri_verify_queries(
     ):
         positions = sorted({((q >> (max_log - lvl)) & ~3) + j
                             for q in queries for j in range(4)})
+        if dec.column_values:
+            # values must travel exactly once (layer_values); a second,
+            # unchecked copy would be proof malleability
+            raise FriVerificationError(f"layer {li}: unexpected column values")
         vals = proof.layer_values[li]
         if sorted(vals) != positions:
             raise FriVerificationError(f"layer {li}: bad positions")

@@ -275,14 +275,20 @@ def _gather_rows_jit(mats: tuple, idxs: tuple):
 
 
 def decommit_async(tree: MerkleTree, queries,
-                   n_queries: int | None = None) -> PendingDecommitment:
+                   n_queries: int | None = None,
+                   include_values: bool = True) -> PendingDecommitment:
     """Issue the decommitment gathers without materializing.
 
     n_queries (the config's query count) pins every gather's padded size:
     each level's needed set is contained in the union of the queries'
     radix-4 quads projected to that level, so |needed[k]| <= 4*n_queries
     and |witness[k]| <= 8*n_queries — the executable shapes then depend
-    only on (tree signature, n_queries), never on the drawn positions."""
+    only on (tree signature, n_queries), never on the drawn positions.
+
+    include_values=False skips the column-value gathers and produces a
+    witness-hash-only decommitment: FRI layer values already travel in
+    proof["fri"]["layer_values"] (Merkle-checked by the verifier), so a
+    second copy inside the decommitment would be ignored bytes."""
     max_log = tree.max_log
     if n_queries is not None:
         b_col = 1 << max(0, 4 * n_queries - 1).bit_length()
@@ -295,7 +301,7 @@ def decommit_async(tree: MerkleTree, queries,
     wit_mats: List[jnp.ndarray] = []
     wit_idxs: List[jnp.ndarray] = []
     for k in range(max_log, -1, -1):
-        if k in tree.column_matrix:
+        if include_values and k in tree.column_matrix:
             bound = min(1 << k, b_col) if n_queries is not None else None
             idx, n = _padded_idx(needed[k], bound)
             col_meta.append((k, n))
@@ -327,8 +333,8 @@ def decommit_async(tree: MerkleTree, queries,
     return PendingDecommitment(pending_cols, pending_wit)
 
 
-def gather_arg_shapes(sig, n_queries: int,
-                      max_log: int | None = None) -> Tuple[list, list]:
+def gather_arg_shapes(sig, n_queries: int, max_log: int | None = None,
+                      include_values: bool = True) -> Tuple[list, list]:
     """The (mats, idxs) ShapeDtypeStruct args of the _gather_rows_jit call
     issued by decommit_async(tree, ..., n_queries=...) for a tree of
     signature [(level, n_cols), ...] — column gathers by level descending,
@@ -344,7 +350,7 @@ def gather_arg_shapes(sig, n_queries: int,
     b_wit = 2 * b_col
     col_mats, col_idxs, wit_mats, wit_idxs = [], [], [], []
     for k in range(max_log, -1, -1):
-        if k in by:
+        if include_values and k in by:
             col_mats.append(jax.ShapeDtypeStruct((1 << k, by[k]), jnp.uint32))
             col_idxs.append(
                 jax.ShapeDtypeStruct((min(1 << k, b_col),), jnp.int32))
@@ -356,7 +362,8 @@ def gather_arg_shapes(sig, n_queries: int,
     return col_mats + wit_mats, col_idxs + wit_idxs
 
 
-def decommit_shapes(sig, n_queries: int) -> List[tuple]:
+def decommit_shapes(sig, n_queries: int,
+                    include_values: bool = True) -> List[tuple]:
     """Future shapes of decommit_async(tree, ..., n_queries=...) for a tree
     of signature [(level, n_cols), ...], in PendingDecommitment.futures()
     order (column gathers by level descending, then witness gathers by level
@@ -366,7 +373,8 @@ def decommit_shapes(sig, n_queries: int) -> List[tuple]:
     max_log = max(by)
     b_col = 1 << max(0, 4 * n_queries - 1).bit_length()
     b_wit = 2 * b_col
-    shapes = [(min(1 << k, b_col), by[k]) for k in sorted(by, reverse=True)]
+    shapes = ([(min(1 << k, b_col), by[k]) for k in sorted(by, reverse=True)]
+              if include_values else [])
     shapes += [(min(1 << (k + 1), b_wit), 8)
                for k in range(max_log - 1, -1, -1)]
     return shapes

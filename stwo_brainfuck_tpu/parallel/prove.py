@@ -38,6 +38,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import fft, fri, m31, merkle, qm31, quotients
+from ..core.rowref import dedup_jit
 from ..framework.component import (
     Component,
     Evaluator,
@@ -117,7 +118,11 @@ def _interaction_full_fn(mesh: Mesh, cls, log_size: int):
     cumsum = shard_map(cumsum_step, mesh=mesh, in_specs=(P(None, ROW_AXIS),),
                        out_specs=P(None, ROW_AXIS), check_vma=False)
 
-    @jax.jit
+    # dedup_jit, not jax.jit: the RowRef main columns share one (k, N) base
+    # matrix — plain jit lowers it as k separate executable parameters, the
+    # phantom-HBM AOT accounting problem dedup_jit fixes on the single-chip
+    # path (a big22 executable declared 51.6 GB for ~3 GB real).
+    @dedup_jit
     def fn(main_cols, elements_dev, perm, inv_perm):
         from ..core.rowref import as_row
 
@@ -170,7 +175,7 @@ def _sharded_constraints_fn(mesh: Mesh, cls, log_size: int):
     sharded = shard_map(step, mesh=mesh, in_specs=in_specs,
                         out_specs=P(None, ROW_AXIS), check_vma=False)
 
-    @jax.jit
+    @dedup_jit  # RowRef bases (per-tree level matrices) fold to one param
     def fn(main_cols, interaction_cols, s_prev, is_first, claimed_sum,
            elements_dev, alpha_powers, v_inv):
         from ..framework.component import _normalize_inter
@@ -242,7 +247,7 @@ def _accumulate_all_fn(mesh: Mesh, idx_groups: tuple):
     point_group = shard_map(_point_group_step, mesh=mesh, in_specs=pg_specs,
                             out_specs=P(None, ROW_AXIS), check_vma=False)
 
-    @jax.jit
+    @dedup_jit  # quotient columns are RowRefs into shared per-tree matrices
     def fn(cols, consts, w, px, py):
         from ..core.rowref import as_row
 
@@ -329,7 +334,7 @@ def _extend_fn_impl(mesh: Mesh, log_size: int, blow: int, env_key: tuple):
     interp = make_sharded_interpolate(mesh, log_size, batched=True)
     evaluate = make_sharded_evaluate(mesh, log_size + blow, batched=True)
 
-    @jax.jit
+    @dedup_jit  # extend columns arrive as RowRefs into one upload matrix
     def fn(values):
         from ..core.rowref import as_row
 

@@ -62,9 +62,13 @@ def _tree_groups(layout) -> Dict[int, int]:
 
 def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
     """Enumerate thunks covering the prove pipeline's executables for this
-    claim; each distinct shape appears exactly once. Returns (name, thunk)
-    pairs where name-prefix "exec_" marks thunks that must run on real
-    inputs (everything else AOT-loads without executing when aot=True)."""
+    claim; each distinct shape appears exactly once. Returns
+    (name, key, thunk) triples where name-prefix "exec_" marks thunks that
+    must run on real inputs (everything else AOT-loads without executing
+    when aot=True). `key` is a hashable identity of the executable-shape
+    signature, stable ACROSS claims: callers warming several claims in one
+    process (bench.py's suite) pass a shared `seen` set to warmup() and pay
+    each shared shape once."""
     from . import air
     from .components.defs import ELEMENT_SIZES
     from .core import fft, fri, merkle, quotients
@@ -109,7 +113,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             main = {name: RowRef(mat, i) for i, name in enumerate(c.columns)}
             load(fn, main, els_dev, _device_perm(n))
 
-        thunks.append(("inter", warm_inter))
+        thunks.append(("inter", ("inter",) + key, warm_inter))
 
     # --- device table builder -----------------------------------------------
     # prove_brainfuck ships the padded trace + permutations in ONE upload;
@@ -123,7 +127,9 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
         # cache entry than the prove-time positional call
         load(D._build_tables_jit, _z(total), D.claim_key(claim))
 
-    thunks.append(("table_build", warm_table_build))
+    thunks.append(("table_build",
+                   ("table_build", tuple(sorted(claim.items()))),
+                   warm_table_build))
 
     # --- constraint / union kernels ---------------------------------------
     # RowRef row indices are static aux data in the jit key, so union-group
@@ -163,7 +169,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             if not aot:
                 jax.block_until_ready(out)
 
-        thunks.append(("cons", warm_cons))
+        thunks.append(("cons", ("cons",) + key + (blow,), warm_cons))
 
     # --- FFT shapes (per tree size-group) + whole-tree merkle shapes ------
     # tree1's columns arrive as RowRefs into the per-component upload
@@ -215,7 +221,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             load(fft._is_first_ext_jit, _z(ne), _z(ne), _z(lg), lg)
             load(_row_mat_jit, _z(ne))
 
-        thunks.append(("is_first", warm_is_first))
+        thunks.append(("is_first", ("is_first", lg, blow), warm_is_first))
 
     for lg, spec in sorted(fft_shapes):
 
@@ -227,7 +233,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             if not aot:
                 jax.block_until_ready(out[1])
 
-        thunks.append(("fft", warm_fft))
+        thunks.append(("fft", ("fft", lg, spec, blow), warm_fft))
 
     # composition accumulation: interpolate (4, n+blow) per distinct size,
     # then one evaluate at comp_log
@@ -266,7 +272,10 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
         if not aot:
             jax.block_until_ready(out)
 
-    thunks.append(("comp_fft", warm_comp_fft))
+    thunks.append(("comp_fft",
+                   ("comp_fft", tuple(comp_sizes_blown),
+                    tuple(sorted(comp_counts.items())), comp_log),
+                   warm_comp_fft))
 
     # --- OODS sampling tensor kernels (one per distinct group structure) --
     # members are RowRefs into the per-tree coeff matrices, except tree0's
@@ -293,7 +302,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             load(poly._sample_tensor_jit, tuple(rows),
                  _z(4, 1 << lo), _z(4, 1 << (lg - lo)))
 
-        thunks.append(("sampling", warm_sampling))
+        thunks.append(("sampling", ("sampling", lg, spec), warm_sampling))
 
     # --- FRI: fold shapes, layer-commit merkle shapes ---------------------
     used_sizes = sorted({m.log_size + blow
@@ -317,8 +326,9 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             fold_sizes.add(m)
             m -= 1
     fri_last_log = m  # cur's line log at loop exit (== m throughout)
-    for lvl in layer_levels:
-        tree_sigs.add(((lvl, 4),))
+    # FRI layer trees decommit witness-hash-only (include_values=False):
+    # their gather executables differ from the 4 main trees'
+    fri_sigs = {((lvl, 4),) for lvl in layer_levels}
 
     def warm_folds():
         one = _z(4)
@@ -340,7 +350,11 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
              tuple([_z(8)] * len(layer_levels))
              + (_z(4, 1 << fri_last_log), _z(8)))
 
-    thunks.append(("folds", warm_folds))
+    thunks.append(("folds",
+                   ("folds", tuple(sorted(fold_sizes)),
+                    tuple(sorted(input_sizes)), tuple(sorted(fold2_sizes)),
+                    max_log, fri_last_log, tuple(layer_levels)),
+                   warm_folds))
 
     # Simulated query set: n_queries distinct spread positions — for typical
     # query counts the padded gather shapes (pow2 buckets) match the real
@@ -354,7 +368,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
     # pool loads them concurrently); the per-sig commit+decommit thunks after
     # them are then cache-hit dispatches that warm only the decommit gathers.
     kernel_steps = set()
-    for sig in tree_sigs:
+    for sig in tree_sigs | fri_sigs:
         kernel_steps.update(merkle.level_plan(list(sig)))
 
     for step in sorted(kernel_steps):
@@ -369,22 +383,25 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             else:
                 load(merkle._chain_hash_jit, _z(1 << (k + 1), 8), step[2])
 
-        thunks.append(("mk_kernel", warm_mk_kernel))
+        thunks.append(("mk_kernel", ("mk_kernel", step), warm_mk_kernel))
 
     # Decommit gather executables, AOT-loaded from the shape enumeration
     # (the tree walk itself is pure cache-hit dispatches once the level
     # kernels are loaded — replacing the execute-on-zeros tree builds that
     # serialized ~54 s of gather loads behind the load lane)
-    for sig in sorted(tree_sigs):
+    for sig, inc in (sorted((s, True) for s in tree_sigs)
+                     + sorted((s, False) for s in fri_sigs)):
         levels = [k for k, _ in sig]
         if not query_positions_by_level(fake_queries, max_log, levels):
             continue  # deeper than any FRI input: never decommitted
 
-        def warm_gather(sig=sig):
-            mats, idxs = merkle.gather_arg_shapes(sig, config.n_queries)
+        def warm_gather(sig=sig, inc=inc):
+            mats, idxs = merkle.gather_arg_shapes(sig, config.n_queries,
+                                                  include_values=inc)
             load(merkle._gather_rows_jit, tuple(mats), tuple(idxs))
 
-        thunks.append(("gather", warm_gather))
+        thunks.append(("gather", ("gather", sig, inc, config.n_queries),
+                       warm_gather))
 
     def warm_root_pull():
         # the root pull (layers[0][0] getitem + host transfer) is the one
@@ -394,7 +411,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
         # measured a 204 s one-time compile through the relay)
         np.asarray(_zeros(1, 8)[0])
 
-    thunks.append(("exec_root", warm_root_pull))
+    thunks.append(("exec_root", ("exec_root",), warm_root_pull))
 
     def warm_fri_decommit():
         # fri_decommit gathers every layer's values in one executable, with
@@ -409,7 +426,10 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             idxs.append(idx)
         load(fri._gather_vals_jit, tuple(mats), tuple(idxs))
 
-    thunks.append(("fri_decommit", warm_fri_decommit))
+    thunks.append(("fri_decommit",
+                   ("fri_decommit", tuple(layer_levels), config.n_queries,
+                    max_log),
+                   warm_fri_decommit))
 
     # --- batched host-pull (flatten) signatures, exactly as the prove issues
     # them: claimed sums, sampled-value groups, the 4-tree decommit, the FRI
@@ -429,12 +449,18 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
                 for s in merkle.decommit_shapes(sig, nq)]
         load(transfer._flatten_jit, tuple(futs))
         futs = [_z(*s) for m in layer_levels
-                for s in merkle.decommit_shapes(((m, 4),), nq)]
+                for s in merkle.decommit_shapes(((m, 4),), nq,
+                                                include_values=False)]
         load(transfer._flatten_jit, tuple(futs))
         load(transfer._flatten_jit,
              tuple(_z(4, min(1 << m, b)) for m in layer_levels))
 
-    thunks.append(("pulls", warm_pulls))
+    thunks.append(("pulls",
+                   ("pulls", tuple(tree_order), tuple(layer_levels),
+                    len(layout.components),
+                    tuple(len(m) for m in air.sampling_plan(layout).values()),
+                    config.n_queries),
+                   warm_pulls))
 
     # --- quotient kernels: one fused executable per size ------------------
     # mirror prove's claims_by_size walk exactly (group0 = every opened
@@ -470,7 +496,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
                  jnp.ones((len(idx_groups), 5, 4), jnp.uint32),
                  _z(n_w, 4), _z(1 << s), _z(1 << s), idx_groups)
 
-        thunks.append(("quot", warm_quot))
+        thunks.append(("quot", ("quot", s, specs, idx_groups), warm_quot))
 
     # --- PoW batch --------------------------------------------------------
     def warm_pow():
@@ -480,7 +506,7 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             load(ch._pow_batch, _z(8), jnp.uint32(0), jnp.uint32(0),
                  jnp.uint32(1))
 
-    thunks.append(("pow", warm_pow))
+    thunks.append(("pow", ("pow", config.pow_bits > 13), warm_pow))
 
     # --- host-side lru caches + their device copies ------------------------
     # Numpy precomputations (batch inverses, domain points, fold twiddle
@@ -572,7 +598,9 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
         for start, cnt, assign in plan:
             assign(devs[start:start + cnt])
 
-    thunks.append(("host_caches", host_caches))
+    thunks.append(("host_caches",
+                   ("host_caches", tuple(sorted(claim.items())), blow),
+                   host_caches))
     # Longest loads first (minimizes the pool makespan): the constraint
     # unions, quotient and sampling programs dominate deserialize time; the
     # executing thunks (merkle walks) come after the kernels they reuse.
@@ -619,10 +647,15 @@ def ghost_prove(claim: Dict[str, int], config, mesh=None) -> None:
 
 
 def warmup(claim: Dict[str, int], config, max_workers: int | None = None,
-           mesh=None) -> int:
+           mesh=None, seen: set | None = None) -> int:
     """Precompile/preload the pipeline's executables. Returns the number of
     warm thunks executed. Safe to skip — missing shapes simply compile
     inline during the prove.
+
+    seen: optional set of thunk keys already warmed in this process; thunks
+    whose keys are present are skipped and executed keys are added (bench.py
+    warms the suite's UNION of claims this way instead of re-paying shared
+    shapes per program).
 
     Default mode AOT-loads executables serially (the relay serializes load
     RPCs; fan-out only adds contention — see module docstring) without
@@ -643,6 +676,9 @@ def warmup(claim: Dict[str, int], config, max_workers: int | None = None,
     max_workers = int(os.environ.get("STWO_BF_WARMUP_WORKERS", max_workers))
 
     thunks = warmup_thunks(claim, config, aot=aot)
+    if seen is not None:
+        thunks = [t for t in thunks if t[1] not in seen]
+        seen.update(t[1] for t in thunks)
     t0 = time.time()
     errors = []
     times: List[tuple] = []
@@ -656,9 +692,9 @@ def warmup(claim: Dict[str, int], config, max_workers: int | None = None,
         finally:
             times.append((time.time() - ts, name))
 
-    host = [(n, t) for n, t in thunks if n == "host_caches"]
-    execs = [(n, t) for n, t in thunks if n.startswith("exec_")]
-    loads = [(n, t) for n, t in thunks
+    host = [(n, t) for n, _k, t in thunks if n == "host_caches"]
+    execs = [(n, t) for n, _k, t in thunks if n.startswith("exec_")]
+    loads = [(n, t) for n, _k, t in thunks
              if n != "host_caches" and not n.startswith("exec_")]
 
     def run_lane(lane):
