@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from ..core import fft
 from ..core.m31 import P_INT
 from ..core.rowref import dedup_jit
-from .m31_pallas import _mul_body, _on_tpu
+from .m31_pallas import _on_tpu
 
 _LANES = 128
 _LOG_LANES = 7
@@ -56,14 +56,44 @@ _SUB = 8            # pass-1 a2-chunk (one sublane tile)
 MIN_LOG, MAX_LOG = 11, 23
 
 
-def _addmod(a, b):
-    s = a + b
-    s = (s & np.uint32(P_INT)) + (s >> 31)
-    return jnp.where(s >= np.uint32(P_INT), s - np.uint32(P_INT), s)
+# Lazy (semi-reduced) modular arithmetic: stage values live in [0, P]
+# (canonical + the single alias P ≡ 0) and are canonicalized ONCE per pass.
+# _fold maps [0, 2^32-2] -> [0, P] exactly ((x&P)+(x>>31) = 2^31 only for
+# x = 2^32-1, which no path below can produce), so sums of two [0, P]
+# values (<= 2P = 2^32-2) and the Mersenne fold of a 62-bit product both
+# stay in range. Dropping the per-op canonicalization compare/select saves
+# ~22 of the ~84 u32 ops per butterfly of the round-3 kernel (the measured
+# 81 G butterflies/s matched that op count at the VPU issue rate almost
+# exactly, so op count IS the lever).
+_PC = np.uint32(0x7FFF_FFFF)
 
 
-def _submod(a, b):
-    return _addmod(a, np.uint32(P_INT) - b)
+def _fold(x):
+    return (x & _PC) + (x >> 31)
+
+
+def _canon(x):
+    return jnp.where(x >= _PC, x - _PC, x)
+
+
+def _mul_semi(a, b):
+    """M31 product of semi-reduced inputs (<= P), semi-reduced output.
+    Same 16-bit limb scheme as m31_pallas._mul_body minus the final
+    canonicalization: r = 2*hi + (lo>>31) + (lo&P) <= 2^32-4 for inputs
+    <= P, so one _fold lands in [0, P]."""
+    m16 = np.uint32(0xFFFF)
+    a0 = a & m16
+    a1 = a >> 16
+    b0 = b & m16
+    b1 = b >> 16
+    t0 = a0 * b0
+    t1 = a0 * b1 + a1 * b0
+    t2 = a1 * b1
+    t1_lo = t1 << 16
+    lo = t0 + t1_lo
+    carry = (lo < t1_lo).astype(jnp.uint32)
+    hi = t2 + (t1 >> 16) + carry
+    return _fold((hi << 1) + (lo >> 31) + (lo & _PC))
 
 
 def _plan(n: int):
@@ -162,22 +192,65 @@ def set_dev_tables(n: int, inverse: bool, twr1, twr2, lane_stages) -> None:
 
 
 def _bf_fwd(x, t, s, sel, axis):
+    """(u, v) -> (u + t·v, u − t·v), semi-reduced in and out. The two
+    branches share one folded add: base is u at BOTH positions of a pair
+    (x at even, the roll-down at odd) and delta is ±t·v (the roll-up of the
+    product at even, P − product at odd), so the butterfly costs one
+    mul_semi + one fold-add + two rolls + three selects per element —
+    down from mul + full addmod + full submod + select."""
     size = x.shape[axis]
     from jax.experimental.pallas import tpu as pltpu
 
-    tb = _mul_body(x, t)
+    tb = _mul_semi(x, t)
     up = pltpu.roll(tb, size - s, axis=axis)     # pos i -> tb[i + s]
     down = pltpu.roll(x, s, axis=axis)           # pos i -> x[i - s]
-    return jnp.where(sel, _addmod(x, up), _submod(down, tb))
+    base = jnp.where(sel, x, down)               # u at both positions
+    delta = jnp.where(sel, up, _PC - tb)         # +t·v / −t·v
+    return _fold(base + delta)
 
 
 def _bf_inv(x, t, s, sel, axis):
+    """(u, v) -> (u + v, t·(u − v)), semi-reduced in and out."""
     size = x.shape[axis]
     from jax.experimental.pallas import tpu as pltpu
 
     up = pltpu.roll(x, size - s, axis=axis)
     down = pltpu.roll(x, s, axis=axis)
-    return jnp.where(sel, _addmod(x, up), _mul_body(_submod(down, x), t))
+    add = _fold(x + up)                          # u + v at even positions
+    sub = _mul_semi(_fold(down + (_PC - x)), t)  # t·(u − v) at odd
+    return jnp.where(sel, add, sub)
+
+
+# Pair-packed butterflies for TILE-ALIGNED leading-axis strides: when the
+# pair stride is a whole number of (8, 128) vreg tiles, the u/v halves are
+# block slices (vreg moves, ~free next to the ALU work) instead of rolls,
+# and the M31 product runs on the v HALF only — the roll/select form above
+# multiplies at BOTH positions of every pair and evaluates both branches,
+# ~2x the essential ALU work. Packed applies to every pass-1 stage (axis-0
+# elements are whole tiles) and pass-2 row stages with stride >= 8 rows;
+# sub-tile row strides and the 7 lane stages keep the roll form.
+
+def _bf_fwd_packed(x, t, s):
+    sh = x.shape
+    k = sh[0] // (2 * s)
+    x4 = x.reshape((k, 2, s) + sh[1:])
+    t4 = t.reshape((k, 2, s) + t.shape[1:])
+    u, v, tv = x4[:, 0], x4[:, 1], t4[:, 1]
+    w = _mul_semi(v, tv)
+    lo = _fold(u + w)                            # u + t·v
+    hi = _fold(u + (_PC - w))                    # u − t·v
+    return jnp.stack([lo, hi], axis=1).reshape(sh)
+
+
+def _bf_inv_packed(x, t, s):
+    sh = x.shape
+    k = sh[0] // (2 * s)
+    x4 = x.reshape((k, 2, s) + sh[1:])
+    t4 = t.reshape((k, 2, s) + t.shape[1:])
+    u, v, tv = x4[:, 0], x4[:, 1], t4[:, 1]
+    add = _fold(u + v)                           # u + v
+    sub = _mul_semi(_fold(u + (_PC - v)), tv)    # t·(u − v)
+    return jnp.stack([add, sub], axis=1).reshape(sh)
 
 
 def _scale_const(n: int) -> np.uint32:
@@ -192,7 +265,6 @@ def _make_pass1(n: int, inverse: bool, scale: int):
 
     def kernel(x_ref, t_ref, o_ref):
         x = x_ref[0]
-        iota = jax.lax.broadcasted_iota(jnp.uint32, x.shape, 0)
         stages = range(n - 1, n - 1 - n1, -1)
         if inverse:
             stages = reversed(list(stages))
@@ -200,12 +272,13 @@ def _make_pass1(n: int, inverse: bool, scale: int):
             k = n - 1 - L
             s1 = 1 << (L - _LOG_LANES - n2)
             t = t_ref[:, :, k:k + 1]
-            sel = (iota & np.uint32(s1)) == 0
-            x = _bf_inv(x, t, s1, sel, 0) if inverse else \
-                _bf_fwd(x, t, s1, sel, 0)
+            # axis-0 elements are whole (8, 128) tiles: every pass-1
+            # stage takes the pair-packed form
+            x = _bf_inv_packed(x, t, s1) if inverse else \
+                _bf_fwd_packed(x, t, s1)
         if scale:
-            x = _mul_body(x, _scale_const(scale))
-        o_ref[0] = x
+            x = _mul_semi(x, _scale_const(scale))
+        o_ref[0] = _canon(x)
 
     return kernel
 
@@ -223,6 +296,9 @@ def _make_pass2(n: int, inverse: bool, scale: int):
             j = (_LOG_LANES + n2 - 1) - L
             s = 1 << (L - _LOG_LANES)
             t = tr_ref[0, :, j:j + 1]
+            if s >= _SUB:  # tile-aligned row stride: pair-packed form
+                return _bf_inv_packed(x, t, s) if inverse else \
+                    _bf_fwd_packed(x, t, s)
             sel = (riota & np.uint32(s)) == 0
             return _bf_inv(x, t, s, sel, 0) if inverse else \
                 _bf_fwd(x, t, s, sel, 0)
@@ -245,8 +321,8 @@ def _make_pass2(n: int, inverse: bool, scale: int):
             for L in range(_LOG_LANES - 1, -1, -1):
                 x = lane(L, x)
         if scale:
-            x = _mul_body(x, _scale_const(scale))
-        o_ref[0, 0] = x
+            x = _mul_semi(x, _scale_const(scale))
+        o_ref[0, 0] = _canon(x)
 
     return kernel
 
