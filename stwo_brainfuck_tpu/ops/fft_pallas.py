@@ -125,7 +125,13 @@ def _tables_from_stages(st, n: int):
     j = np.arange(A * _LANES, dtype=np.int64)
     twl = np.empty((A1, _LOG_LANES, A2, _LANES), np.uint32)
     for L in range(_LOG_LANES):
-        twl[:, L] = st[L][j >> (L + 1)].reshape(A1, A2, _LANES)
+        plane = st[L][j >> (L + 1)].reshape(A1, A2, _LANES)
+        if L >= _LANE_T_MIN and _lane_transposed(n2):
+            # stages that run on the block-transposed slab store their
+            # per-element twiddles pre-transposed (same block transpose)
+            plane = plane.reshape(A1, A2 // _LANES, _LANES, _LANES) \
+                .swapaxes(2, 3).reshape(A1, A2, _LANES)
+        twl[:, L] = plane
     return twr1, twr2, twl
 
 
@@ -150,11 +156,16 @@ def _expand_twl_jit(stages: tuple, n: int):
     repeated 2^(L+1) times. Uploading the expanded table cost 28·2^n bytes
     per (size, direction) — 156 MB of the fib19 warmup's constant batch —
     vs 4·2^n compact."""
-    A1, A2, _, _ = _plan(n)
+    A1, A2, _, n2 = _plan(n)
     outs = []
     for L in range(_LOG_LANES):
         full = jnp.repeat(stages[L], 1 << (L + 1))
-        outs.append(full.reshape(A1, A2, _LANES))
+        plane = full.reshape(A1, A2, _LANES)
+        if L >= _LANE_T_MIN and _lane_transposed(n2):
+            plane = jnp.swapaxes(
+                plane.reshape(A1, A2 // _LANES, _LANES, _LANES), 2, 3
+            ).reshape(A1, A2, _LANES)
+        outs.append(plane)
     return jnp.stack(outs, axis=1)
 
 
@@ -253,6 +264,26 @@ def _bf_inv_packed(x, t, s):
     return jnp.stack([add, sub], axis=1).reshape(sh)
 
 
+# Lane stages 3..6 (strides 8..64 across lanes) take the packed form too,
+# via a per-(128, 128)-block transpose: lane pairs become tile-aligned row
+# pairs, the four stages run packed on the transposed slab, and one
+# transpose back restores the layout for the sub-tile stages 0..2. Applies
+# when the slab has >= 128 rows (n >= 14); their twiddle planes are stored
+# pre-transposed (_tables_from_stages / _expand_twl_jit).
+_LANE_T_MIN = 3
+
+
+def _lane_transposed(n2: int) -> bool:
+    return (1 << n2) >= _LANES
+
+
+def _blocks_T(x):
+    """Transpose each (128, 128) block of a (k*128, 128) slab (involution)."""
+    nb = x.shape[0] // _LANES
+    xt = jnp.swapaxes(x.reshape(nb, _LANES, _LANES), 1, 2)
+    return xt.reshape(nb * _LANES, _LANES)
+
+
 def _scale_const(n: int) -> np.uint32:
     return np.uint32(pow((P_INT + 1) // 2, n, P_INT))
 
@@ -310,15 +341,33 @@ def _make_pass2(n: int, inverse: bool, scale: int):
             return _bf_inv(x, t, s, sel, 1) if inverse else \
                 _bf_fwd(x, t, s, sel, 1)
 
+        def lane_packed(L, xt):
+            # xt is the block-transposed slab; tl plane L is pre-transposed
+            s = 1 << L
+            t = tl_ref[0, L]
+            return _bf_inv_packed(xt, t, s) if inverse else \
+                _bf_fwd_packed(xt, t, s)
+
+        T = _lane_transposed(n2)
         if inverse:
-            for L in range(_LOG_LANES):
+            for L in range(_LANE_T_MIN if T else _LOG_LANES):
                 x = lane(L, x)
+            if T:
+                x = _blocks_T(x)
+                for L in range(_LANE_T_MIN, _LOG_LANES):
+                    x = lane_packed(L, x)
+                x = _blocks_T(x)
             for L in range(_LOG_LANES, _LOG_LANES + n2):
                 x = row(L, x)
         else:
             for L in range(_LOG_LANES + n2 - 1, _LOG_LANES - 1, -1):
                 x = row(L, x)
-            for L in range(_LOG_LANES - 1, -1, -1):
+            if T:
+                x = _blocks_T(x)
+                for L in range(_LOG_LANES - 1, _LANE_T_MIN - 1, -1):
+                    x = lane_packed(L, x)
+                x = _blocks_T(x)
+            for L in range((_LANE_T_MIN if T else _LOG_LANES) - 1, -1, -1):
                 x = lane(L, x)
         if scale:
             x = _mul_semi(x, _scale_const(scale))
