@@ -83,10 +83,27 @@ def _line_and_vanishing_coeffs(point, value):
     return l0, s, dy, dx, v_const
 
 
+# Above this row count the (4, C, N) tree-reduction intermediate (plus the
+# limb-mul temps XLA materializes around it) exceeds HBM: big22's 58-column
+# 2^23 point group compiled to an 18.9 GB temp footprint on a 15.75 GB v5e.
+# The scan form's footprint is the (4, N) carry + per-step temps, independent
+# of C. Small sizes keep the tree form so their jaxprs (and persistent-cache
+# keys) are unchanged.
+_SCAN_ROWS = 1 << 22
+
+
 @jax.jit
 def _weighted_columns(cols: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """sum_k weights[k] * cols[k]: (C, N) M31 columns with (C, 4) QM31
     weights -> (4, N). One modular matvec per QM31 coordinate."""
+    if cols.shape[1] >= _SCAN_ROWS and cols.shape[0] > 1:
+        def step(acc, cw):
+            col, w = cw
+            return m31.add(acc, m31.mul(w[:, None], col[None, :])), None
+
+        init = m31.mul(weights[0][:, None], cols[0][None, :])
+        acc, _ = jax.lax.scan(step, init, (cols[1:], weights[1:]))
+        return acc
     prods = m31.mul(weights.T[:, :, None], cols[None, :, :])  # (4, C, N)
     acc = prods
     while acc.shape[1] > 1:
