@@ -359,6 +359,12 @@ class SystemLayout:
 # both implementations (its memory table's clk-gap fill needs 2^25 rows).
 LOG_MAX_ROWS_CAP = 24
 
+# Commitment-domain size at or above which the prover inserts dispatch-queue
+# barriers between heavy composition programs (see the composition loop and
+# core/pcs._SYNC_COMMIT_LOG): bounds the relay-pinned HBM working set of
+# near-capacity proves without touching the normal-size async pipeline.
+BIG_SYNC_LOG = 23
+
 
 def build_layout(claim: Dict[str, int], config: PcsConfig) -> SystemLayout:
     comps = [cls(claim[cls.name]) for cls in COMPONENT_CLASSES]
@@ -512,9 +518,11 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
 
         by_name = build_device_tables(trace_src[0], trace_src[2])
         dev_mats = [by_name[comp.name] for comp in comps]
+        del by_name
     else:
         buf, layout_spec = _main_upload(tabs, comps)
         dev_mats = _main_mats_jit(buf, layout_spec)
+        del buf  # the flat upload staging buffer duplicates every column
     dev_tabs: Dict[str, Dict[str, jnp.ndarray]] = {}
     for comp, mat in zip(comps, dev_mats):
         # deferred rows: consumer executables slice the uploaded matrix
@@ -556,6 +564,12 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
         raise ProvingError("LogUp sum does not cancel — invalid trace")
     mix_interaction_claim(channel, iclaim)
     tree2 = TreeProver(inter_cols, config, channel, ops=ops)
+    # Free the trace-domain buffers: the main-table upload matrices (only
+    # the interaction build reads them) and the raw interaction QM31 rows
+    # (their coeffs/extensions live in tree2.records). Everything after
+    # this point works on committed coeffs/extended evaluations. On big22
+    # these references pinned ~1 GiB of a 15.75 GiB chip.
+    del dev_tabs, dev_mats, main_cols, inter_cols
 
     log.info("Composition polynomial")
     alpha_comp = channel.draw_felt()
@@ -591,6 +605,16 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
             elements, alpha_comp, alpha_idx, v_inv,
         )
         lg = n + blow
+        if ops is None and lg >= BIG_SYNC_LOG:
+            # Near-capacity sizes: drain the dispatch queue after each
+            # heavy constraint-eval program. The relay pins every queued
+            # executable's args/outputs in HBM; big22's three 2^23
+            # contributions (each reading the full main + interaction
+            # extended matrices) queued together with the composition
+            # extend runtime-OOM the chip, while each fits alone. Costs
+            # one ~45 ms round trip per big component; sizes below the
+            # threshold (all reference programs) never sync.
+            jax.block_until_ready(contrib)
         acc.setdefault(lg, []).append(contrib)
 
     comp_log = layout.composition_log

@@ -46,10 +46,14 @@ _CHAIN_CHUNK = 4
 
 @jax.jit
 def _leaf_hash_jit(mat: jnp.ndarray):
-    """Deepest level: hash the (C, 2^k) column matrix rows-as-messages.
-    Returns ((2^k, 8) digests, (2^k, C) column-value matrix)."""
-    msg = mat.T
-    return blake2s.hash_words(msg), msg
+    """Deepest level: hash the (C, 2^k) column matrix rows-as-messages,
+    returning the (2^k, 8) digests. The transpose lives only inside the
+    executable — an earlier version ALSO returned the (2^k, C) transposed
+    matrix and the tree retained it for decommit gathers, doubling every
+    committed matrix's HBM footprint for the proof's lifetime (big22's
+    main+interaction trees alone held 2x(1.0+0.78) GiB, and the prove
+    OOMed a 15.75 GiB v5e at the interaction commit)."""
+    return blake2s.hash_words(mat.T)
 
 
 @jax.jit
@@ -57,7 +61,7 @@ def _node_hash_jit(prev: jnp.ndarray, mat: jnp.ndarray):
     """Level with injected columns: node = H(child0 || child1 || columns).
     prev: (2^(k+1), 8) child digests; mat: (C, 2^k)."""
     msg = jnp.concatenate([prev.reshape(mat.shape[1], 16), mat.T], axis=1)
-    return blake2s.hash_words(msg), msg[:, 16:]
+    return blake2s.hash_words(msg)
 
 
 @partial(jax.jit, static_argnames=("depth",))
@@ -104,10 +108,11 @@ class MerkleTree:
     # gathers only the few queried positions — pulling whole layers through
     # the TPU relay costs hundreds of MB per proof)
     layers: Dict[int, jnp.ndarray]
-    columns_by_log: Dict[int, List[jnp.ndarray]]
-    # level -> (n_nodes, n_cols) matrix view of the level's column values
-    # (one gather per level at decommit instead of one per column)
-    column_matrix: Dict[int, jnp.ndarray] = None  # type: ignore[assignment]
+    # level -> (n_cols, 2^level) stacked column matrix — the SAME device
+    # buffers the caller committed (no copy); decommit gathers the few
+    # queried positions along axis 1. (A transposed (n_nodes, n_cols)
+    # duplicate was previously retained here; see _leaf_hash_jit.)
+    column_mats: Dict[int, jnp.ndarray] = None  # type: ignore[assignment]
 
     @property
     def max_log(self) -> int:
@@ -134,15 +139,14 @@ def commit(columns_by_log: ColumnsByLog, pull_root: bool = True) -> MerkleTree:
         assert mat.shape[1] == 1 << k, (mat.shape, k)
         mats[k] = mat
     layers: Dict[int, jnp.ndarray] = {}
-    col_matrix: Dict[int, jnp.ndarray] = {}
     prev = None
     for step in level_plan([(k, m.shape[0]) for k, m in mats.items()]):
         kind, k = step[0], step[1]
         if kind == "leaf":
-            prev, col_matrix[k] = _leaf_hash_jit(mats[k])
+            prev = _leaf_hash_jit(mats[k])
             layers[k] = prev
         elif kind == "node":
-            prev, col_matrix[k] = _node_hash_jit(prev, mats[k])
+            prev = _node_hash_jit(prev, mats[k])
             layers[k] = prev
         else:
             outs = _chain_hash_jit(prev, step[2])
@@ -152,9 +156,7 @@ def commit(columns_by_log: ColumnsByLog, pull_root: bool = True) -> MerkleTree:
 
     root = (blake2s.digest_to_bytes(np.asarray(layers[0][0]))
             if pull_root else None)
-    return MerkleTree(root=root, layers=layers,
-                      columns_by_log=dict(columns_by_log),
-                      column_matrix=col_matrix)
+    return MerkleTree(root=root, layers=layers, column_mats=mats)
 
 
 @dataclass
@@ -266,12 +268,18 @@ def _padded_idx(positions, bound: int | None = None) -> Tuple[jnp.ndarray, int]:
     return jnp.asarray(arr), n
 
 
-@jax.jit
-def _gather_rows_jit(mats: tuple, idxs: tuple):
-    """All of one decommitment's row gathers in ONE executable (keyed by the
+@partial(jax.jit, static_argnames=("axes",))
+def _gather_rows_jit(mats: tuple, idxs: tuple, axes: tuple = None):
+    """All of one decommitment's gathers in ONE executable (keyed by the
     shape tuple; eager per-level jnp.take was a compile + relay round trip
-    per level on the cold path)."""
-    return tuple(jnp.take(m, i, axis=0) for m, i in zip(mats, idxs))
+    per level on the cold path). axes[j] = 1 gathers positions from a
+    (C, N) column matrix (output transposed to (|idx|, C), matching the
+    old row-matrix layout downstream); 0 (default) gathers rows of a
+    (N, 8) digest layer."""
+    axes = axes or (0,) * len(mats)
+    return tuple(
+        jnp.take(m, i, axis=1).T if ax == 1 else jnp.take(m, i, axis=0)
+        for m, i, ax in zip(mats, idxs, axes))
 
 
 def decommit_async(tree: MerkleTree, queries,
@@ -301,11 +309,11 @@ def decommit_async(tree: MerkleTree, queries,
     wit_mats: List[jnp.ndarray] = []
     wit_idxs: List[jnp.ndarray] = []
     for k in range(max_log, -1, -1):
-        if include_values and k in tree.column_matrix:
+        if include_values and k in tree.column_mats:
             bound = min(1 << k, b_col) if n_queries is not None else None
             idx, n = _padded_idx(needed[k], bound)
             col_meta.append((k, n))
-            col_mats.append(tree.column_matrix[k])
+            col_mats.append(tree.column_mats[k])
             col_idxs.append(idx)
         if k < max_log:
             # children of needed[k] at level k+1; provide siblings not needed
@@ -325,18 +333,19 @@ def decommit_async(tree: MerkleTree, queries,
                 wit_meta.append((k, n))
                 wit_mats.append(tree.layers[k + 1])
                 wit_idxs.append(idx)
-    outs = _gather_rows_jit(tuple(col_mats + wit_mats),
-                            tuple(col_idxs + wit_idxs))
     nc = len(col_meta)
+    outs = _gather_rows_jit(tuple(col_mats + wit_mats),
+                            tuple(col_idxs + wit_idxs),
+                            axes=(1,) * nc + (0,) * len(wit_meta))
     pending_cols = [(k, n, o) for (k, n), o in zip(col_meta, outs[:nc])]
     pending_wit = [(k, n, o) for (k, n), o in zip(wit_meta, outs[nc:])]
     return PendingDecommitment(pending_cols, pending_wit)
 
 
 def gather_arg_shapes(sig, n_queries: int, max_log: int | None = None,
-                      include_values: bool = True) -> Tuple[list, list]:
-    """The (mats, idxs) ShapeDtypeStruct args of the _gather_rows_jit call
-    issued by decommit_async(tree, ..., n_queries=...) for a tree of
+                      include_values: bool = True) -> Tuple[list, list, tuple]:
+    """The (mats, idxs, axes) ShapeDtypeStruct args of the _gather_rows_jit
+    call issued by decommit_async(tree, ..., n_queries=...) for a tree of
     signature [(level, n_cols), ...] — column gathers by level descending,
     then witness gathers by level descending (mirrors decommit_async's
     walk). Lets warmup AOT-load the gather executables without building a
@@ -351,7 +360,7 @@ def gather_arg_shapes(sig, n_queries: int, max_log: int | None = None,
     col_mats, col_idxs, wit_mats, wit_idxs = [], [], [], []
     for k in range(max_log, -1, -1):
         if include_values and k in by:
-            col_mats.append(jax.ShapeDtypeStruct((1 << k, by[k]), jnp.uint32))
+            col_mats.append(jax.ShapeDtypeStruct((by[k], 1 << k), jnp.uint32))
             col_idxs.append(
                 jax.ShapeDtypeStruct((min(1 << k, b_col),), jnp.int32))
         if k < max_log:
@@ -359,7 +368,8 @@ def gather_arg_shapes(sig, n_queries: int, max_log: int | None = None,
                 jax.ShapeDtypeStruct((1 << (k + 1), 8), jnp.uint32))
             wit_idxs.append(
                 jax.ShapeDtypeStruct((min(1 << (k + 1), b_wit),), jnp.int32))
-    return col_mats + wit_mats, col_idxs + wit_idxs
+    axes = (1,) * len(col_mats) + (0,) * len(wit_mats)
+    return col_mats + wit_mats, col_idxs + wit_idxs, axes
 
 
 def decommit_shapes(sig, n_queries: int,

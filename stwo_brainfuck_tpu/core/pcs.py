@@ -54,6 +54,17 @@ class PcsConfig:
         return PcsConfig(**obj)
 
 
+# Commitment level at or above which the extend results are synchronized
+# before the Merkle dispatches are enqueued. The TPU relay virtualizes
+# client buffers but pins every queued executable's args/outputs in HBM;
+# a near-capacity prove (big22: 2^22 tables, composition committed at
+# 2^24) queues the whole composition chain + commit without a sync point
+# and runtime-OOMs the 15.75 GiB chip, while every piece fits comfortably
+# alone. The barrier costs one relay round trip (~45 ms) and is never hit
+# by normal-size workloads (fib19's top level is 2^20).
+_SYNC_COMMIT_LOG = 24
+
+
 @dataclass
 class ColumnRecord:
     log_size: int                 # trace domain log
@@ -110,6 +121,8 @@ class TreeProver:
                 RowRef(ext_all[log_size], j)))
         # one (C, N) matrix per level — the whole size group, in record order
         by_level = {lg + config.log_blowup: ext_all[lg] for lg in groups}
+        if max(by_level) >= _SYNC_COMMIT_LOG:
+            jax.block_until_ready(list(ext_all.values()))
         self.tree = commit(by_level)
         channel.mix_root(self.tree.root)
 

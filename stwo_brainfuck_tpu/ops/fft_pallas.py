@@ -50,10 +50,13 @@ _LANES = 128
 _LOG_LANES = 7
 _MAX_LOG_A2 = 9     # pass-2 slab: up to (512, 128) = 256 KB in VMEM
 _SUB = 8            # pass-1 a2-chunk (one sublane tile)
-# MAX_LOG 23 covers the near-capacity workloads' blown-up domains (a 2^22
-# table extends to 2^23; the staged-XLA fallback at that size scheduled
-# ~12 GB of HLO temps and was rejected by the AOT compiler)
-MIN_LOG, MAX_LOG = 11, 23
+# MAX_LOG 24 covers the near-capacity workloads' FULL transform set: a 2^22
+# table extends to 2^23, and the composition polynomial of 2^22-row
+# components lives at 2^23 and COMMITS at 2^24 (big22's tree3 extend — the
+# staged-XLA fallback scheduled ~12 GB of HLO temps at 2^23 and OOMed the
+# 15.75 GB chip at 2^24). The n=24 lane-twiddle table costs 7·2^24·4 B =
+# 448 MiB of HBM, paid only when a near-capacity proof touches that size.
+MIN_LOG, MAX_LOG = 11, 24
 
 
 # Lazy (semi-reduced) modular arithmetic: stage values live in [0, P]

@@ -47,7 +47,6 @@ def _commit_fn(mesh: Mesh, sig: tuple):
 
     def step(mats):
         layers = {}
-        colmats = {}
         prev = None
         for k in sharded_levels:
             n_local = (1 << k) // D
@@ -57,13 +56,11 @@ def _commit_fn(mesh: Mesh, sig: tuple):
             if k in mats:
                 parts.append(mats[k].T)
             msg = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-            if k in mats:
-                colmats[k] = msg[:, -mats[k].shape[0]:]
             prev = blake2s.hash_words(msg)
             layers[k] = prev
         # level split_log: one node per shard -> replicate the D digests
         sub = jax.lax.all_gather(prev.reshape(8), ROW_AXIS)  # (D, 8)
-        return layers, colmats, sub
+        return layers, sub
 
     big_keys = [k for k in sharded_levels if k in by]
     sharded = shard_map(
@@ -71,7 +68,6 @@ def _commit_fn(mesh: Mesh, sig: tuple):
         in_specs=({k: P(None, ROW_AXIS) for k in big_keys},),
         out_specs=(
             {k: P(ROW_AXIS, None) for k in sharded_levels},
-            {k: P(ROW_AXIS, None) for k in big_keys},
             P(None, None),
         ),
         check_vma=False,
@@ -80,20 +76,17 @@ def _commit_fn(mesh: Mesh, sig: tuple):
     @jax.jit
     def fn(mats):
         big = {k: mats[k] for k in big_keys}
-        layers, colmats, prev = sharded(big)
+        layers, prev = sharded(big)
         layers = dict(layers)
-        colmats = dict(colmats)
         # top levels (< D nodes): replicated, identical to merkle.commit
         for k in range(split_log - 1, -1, -1):
             parts = [prev.reshape(1 << k, 16)]
             if k in mats:
                 parts.append(mats[k].T)
             msg = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-            if k in mats:
-                colmats[k] = msg[:, 16:]
             prev = blake2s.hash_words(msg)
             layers[k] = prev
-        return layers, colmats
+        return layers
 
     return fn
 
@@ -106,10 +99,10 @@ def commit_sharded(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> 
 
     columns_by_log values may be a list of (2^k,) columns or one (C, 2^k)
     matrix (preferred — no per-column slicing dispatches). Returns the same
-    MerkleTree structure as core/merkle.commit (layers + column_matrix kept
-    as device arrays — the big ones sharded), so decommitment works
-    unchanged. The root is bit-identical to the single-device commit
-    (shard-count invariance)."""
+    MerkleTree structure as core/merkle.commit (layers kept as device
+    arrays — the big ones sharded — and column_mats referencing the input
+    matrices), so decommitment works unchanged. The root is bit-identical
+    to the single-device commit (shard-count invariance)."""
     D = _mesh_size(mesh)
     split_log = int(np.log2(D))
     mats: Dict[int, jnp.ndarray] = {}
@@ -125,16 +118,10 @@ def commit_sharded(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> 
         return merkle.commit(mats)
 
     sig = tuple(sorted((k, int(m.shape[0])) for k, m in mats.items()))
-    layers, col_matrix = _commit_fn(mesh, sig)(mats)
-    layers = dict(layers)
-    col_matrix = dict(col_matrix)
+    layers = dict(_commit_fn(mesh, sig)(mats))
 
     root = blake2s.digest_to_bytes(np.asarray(layers[0][0]))
-    return merkle.MerkleTree(
-        root=root, layers=layers,
-        columns_by_log=dict(mats),
-        column_matrix=col_matrix,
-    )
+    return merkle.MerkleTree(root=root, layers=layers, column_mats=mats)
 
 
 def sharded_commit(mesh: Mesh, columns_by_log: Dict[int, List[jnp.ndarray]]) -> bytes:

@@ -396,9 +396,10 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
             continue  # deeper than any FRI input: never decommitted
 
         def warm_gather(sig=sig, inc=inc):
-            mats, idxs = merkle.gather_arg_shapes(sig, config.n_queries,
-                                                  include_values=inc)
-            load(merkle._gather_rows_jit, tuple(mats), tuple(idxs))
+            mats, idxs, axes = merkle.gather_arg_shapes(
+                sig, config.n_queries, include_values=inc)
+            load(merkle._gather_rows_jit, tuple(mats), tuple(idxs),
+                 axes=axes)
 
         thunks.append(("gather", ("gather", sig, inc, config.n_queries),
                        warm_gather))

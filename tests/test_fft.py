@@ -225,8 +225,9 @@ def test_rotation_permutation_closed_form():
 
 
 def test_pallas_fft_top_size_interpret():
-    """MAX_LOG (the 2^23 blown-up domain of a 2^22 table) exercises the
-    deepest pass-1 stage count (n1 = 7); pin bit-exactness vs staged XLA."""
+    """MAX_LOG (the 2^24 commitment domain of a 2^22-table composition
+    polynomial) exercises the deepest pass-1 stage count; pin bit-exactness
+    vs staged XLA."""
     from stwo_brainfuck_tpu.ops import fft_pallas
 
     log = fft_pallas.MAX_LOG
