@@ -47,12 +47,14 @@ logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
 T_START = time.time()
 BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
-# Suite order: cheapest first so a tight budget still covers the breadth of
-# the reference's bundled programs; big22 (repo-local synthetic, 2^22-row
-# tables — the near-capacity throughput regime) needs the largest reserve
-# and runs last; sierpinski is a MEASURED capacity refusal.
-SUITE = ["loop", "a-bc", "hello1", "hello2", "hello3", "hello4",
-         "hello_kakarot", "collatz", "big22"]
+# Suite order (VERDICT r4 item 2): big22 (repo-local synthetic, 2^22-row
+# tables — the near-capacity throughput regime) runs IMMEDIATELY after the
+# headline, while its 600 s reserve still fits the budget; the small
+# programs follow with whatever is left (round 4 ordered them first and a
+# long warmup starved big22 for the third round running). sierpinski is a
+# MEASURED capacity refusal.
+SUITE = ["big22", "loop", "a-bc", "hello1", "hello2", "hello3", "hello4",
+         "hello_kakarot", "collatz"]
 INPUTS = {"collatz": b"7\n", "a-bc": b"a"}
 # Conservative wall-clock reserve needed to attempt each program (warmup of
 # its novel shapes + first prove + 3 warm proves + 2 verifies), hot-cache.

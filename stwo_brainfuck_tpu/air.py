@@ -75,11 +75,6 @@ def _dev_rotation(log_size: int, blow: int, steps: int) -> jnp.ndarray:
     return _DEV_ROT[key]
 
 
-class _NullChannel:
-    def mix_root(self, root):
-        pass
-
-
 def _preproot_cache_path():
     import os
 

@@ -269,14 +269,15 @@ def _padded_idx(positions, bound: int | None = None) -> Tuple[jnp.ndarray, int]:
 
 
 @partial(jax.jit, static_argnames=("axes",))
-def _gather_rows_jit(mats: tuple, idxs: tuple, axes: tuple = None):
+def _gather_rows_jit(mats: tuple, idxs: tuple, axes: tuple):
     """All of one decommitment's gathers in ONE executable (keyed by the
     shape tuple; eager per-level jnp.take was a compile + relay round trip
     per level on the cold path). axes[j] = 1 gathers positions from a
     (C, N) column matrix (output transposed to (|idx|, C), matching the
-    old row-matrix layout downstream); 0 (default) gathers rows of a
-    (N, 8) digest layer."""
-    axes = axes or (0,) * len(mats)
+    old row-matrix layout downstream); 0 gathers rows of a (N, 8) digest
+    layer. axes is REQUIRED and must match mats 1:1 — a silent all-axis-0
+    default would read transposed data for column matrices."""
+    assert len(axes) == len(mats), (len(axes), len(mats))
     return tuple(
         jnp.take(m, i, axis=1).T if ax == 1 else jnp.take(m, i, axis=0)
         for m, i, ax in zip(mats, idxs, axes))

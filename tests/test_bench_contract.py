@@ -73,8 +73,12 @@ def test_emit_without_headline_is_noop(bench):
     assert bench._EMITTED is False
 
 
-def test_suite_order_reserves_big22_last(bench):
-    assert bench.SUITE[-1] == "big22"
+def test_suite_order_attempts_big22_first(bench):
+    """VERDICT r4 item 2: big22 (the near-capacity throughput regime) must
+    be attempted IMMEDIATELY after the headline, while its reserve still
+    fits the budget — three rounds of small-programs-first ordering starved
+    it. Its reserve stays the largest (it is the most expensive attempt)."""
+    assert bench.SUITE[0] == "big22"
     assert bench.RESERVE_S["big22"] >= max(
         v for k, v in bench.RESERVE_S.items() if k != "big22")
 

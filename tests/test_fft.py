@@ -225,12 +225,18 @@ def test_rotation_permutation_closed_form():
 
 
 def test_pallas_fft_top_size_interpret():
-    """MAX_LOG (the 2^24 commitment domain of a 2^22-table composition
-    polynomial) exercises the deepest pass-1 stage count; pin bit-exactness
-    vs staged XLA."""
+    """The top supported sizes exercise the deepest pass-1 stage counts; pin
+    bit-exactness vs staged XLA. The full MAX_LOG=24 interpret-mode transform
+    costs ~70 s, so default CI runs 2^22 (the deepest size any bundled
+    program commits at below the composition domain) and the full size is
+    opt-in via STWO_BF_SLOW_TESTS=1."""
+    import os
+
     from stwo_brainfuck_tpu.ops import fft_pallas
 
-    log = fft_pallas.MAX_LOG
+    log = (fft_pallas.MAX_LOG
+           if os.environ.get("STWO_BF_SLOW_TESTS") == "1"
+           else min(fft_pallas.MAX_LOG, 22))
     rng = np.random.default_rng(9)
     vals = jnp.asarray(rng.integers(0, P_INT, (1, 1 << log), dtype=np.uint32))
     np.testing.assert_array_equal(
