@@ -502,6 +502,19 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
 
     log.info("Phase 1: main trace")
     mix_claim(channel, claim)
+    # Single-chip path: from here the Fiat-Shamir transcript runs ON DEVICE
+    # (core/devchan.py) — root mixes, element/alpha/OODS draws, sampled-value
+    # mixes and the FRI chain are all async dispatches against a device
+    # digest, and everything the host needs (roots, claimed sums, sampled
+    # values, FRI outputs, final digest) comes back in ONE batched pull
+    # before the PoW (sync A). The mesh path keeps the host channel (no
+    # relay latency to hide there); proof bytes are identical either way.
+    dc = None
+    if ops is None:
+        from .core.devchan import DeviceChannel
+
+        dc = DeviceChannel(channel.digest)
+    chan = dc if dc is not None else channel
     # ONE host->device upload RPC for all 13 component matrices (each eager
     # per-component jnp.asarray is a full relay round trip, ~0.1-1 s under
     # load), with the successor columns DERIVED on device: next_* are a
@@ -530,11 +543,11 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
         for col in comp.columns:
             main_cols.append((comp.log_size, dev_tabs[comp.name][col]))
     log.debug("  main uploads issued")
-    tree1 = TreeProver(main_cols, config, channel, ops=ops)
+    tree1 = TreeProver(main_cols, config, chan, ops=ops)
     log.debug("  main tree committed")
 
     log.info("Phase 2: interaction trace")
-    elements = draw_elements(channel)
+    elements = dc.draw_elements() if dc is not None else draw_elements(channel)
     from .framework.component import build_interaction_trace_async
     from .utils.transfer import pull_all
 
@@ -550,15 +563,21 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
         for q in inter:
             for c in range(4):
                 inter_cols.append((comp.log_size, RowRef(q, c)))
-    claimed_host = pull_all(claimed_futs)
-    iclaim: Dict[str, tuple] = {
-        comp.name: tuple(int(v) for v in arr)
-        for comp, arr in zip(comps, claimed_host)
-    }
-    if not lookup_sum_valid(iclaim) and not ghost:
-        raise ProvingError("LogUp sum does not cancel — invalid trace")
-    mix_interaction_claim(channel, iclaim)
-    tree2 = TreeProver(inter_cols, config, channel, ops=ops)
+    iclaim: Optional[Dict[str, tuple]] = None
+    if dc is not None:
+        # claimed sums stay on device (pulled in sync A; the LogUp balance
+        # check — mod.rs:206-227 — runs there, before the proof is built)
+        dc.mix_felt_arrays(claimed_futs)
+    else:
+        claimed_host = pull_all(claimed_futs)
+        iclaim = {
+            comp.name: tuple(int(v) for v in arr)
+            for comp, arr in zip(comps, claimed_host)
+        }
+        if not lookup_sum_valid(iclaim) and not ghost:
+            raise ProvingError("LogUp sum does not cancel — invalid trace")
+        mix_interaction_claim(channel, iclaim)
+    tree2 = TreeProver(inter_cols, config, chan, ops=ops)
     # Free the trace-domain buffers: the main-table upload matrices (only
     # the interaction build reads them) and the raw interaction QM31 rows
     # (their coeffs/extensions live in tree2.records). Everything after
@@ -567,14 +586,27 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
     del dev_tabs, dev_mats, main_cols, inter_cols
 
     log.info("Composition polynomial")
-    alpha_comp = channel.draw_felt()
+    weights_list = None
+    alpha_comp = None
+    if dc is not None:
+        # draw alpha_comp and build every component's weight matrix on
+        # device in one executable (offsets are static per claim)
+        from .core.devchan import _comp_weights_jit
+
+        specs = transcript_specs(layout)
+        wspec, groups, member_pos, mix_spec, qspec = specs[:5]
+        size_order, size_shifts = specs[5:]
+        weights_list = _comp_weights_jit(dc.digest, wspec, 0)
+        dc.counter = 1
+    else:
+        alpha_comp = channel.draw_felt()
     tree0_index = {lg: i for i, lg in enumerate(layout.ladder)}
     acc: Dict[int, jnp.ndarray] = {}
     alpha_idx = 0
     t1 = 0
     t2 = 0
     blow = config.log_blowup
-    for comp in comps:
+    for comp_i, comp in enumerate(comps):
         n = comp.log_size
         ext_main = {}
         for col in comp.columns:
@@ -594,11 +626,19 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
         s_prev = (ext_inter[-1], perm)
         isf_ext = tree0.records[tree0_index[n]].extended
         v_inv = _dev_vanishing_inv(n, n + blow)
-        contribute = ops.composition_contribution if ops else composition_contribution
-        contrib, alpha_idx = contribute(
-            comp, ext_main, ext_inter, s_prev, isf_ext, iclaim[comp.name],
-            elements, alpha_comp, alpha_idx, v_inv,
-        )
+        if dc is not None:
+            contrib, alpha_idx = composition_contribution(
+                comp, ext_main, ext_inter, s_prev, isf_ext,
+                claimed_futs[comp_i], elements, None, alpha_idx, v_inv,
+                weights=weights_list[comp_i],
+            )
+        else:
+            contribute = (ops.composition_contribution if ops
+                          else composition_contribution)
+            contrib, alpha_idx = contribute(
+                comp, ext_main, ext_inter, s_prev, isf_ext, iclaim[comp.name],
+                elements, alpha_comp, alpha_idx, v_inv,
+            )
         lg = n + blow
         if ops is None and lg >= BIG_SYNC_LOG:
             # Near-capacity sizes: drain the dispatch queue after each
@@ -628,44 +668,113 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
         comp_evals = ops.combine_eval(acc, comp_log)
     tree3 = TreeProver(
         [(comp_log, RowRef(comp_evals, c)) for c in range(4)],
-        config, channel, ops=ops)
+        config, chan, ops=ops)
 
     trees = [tree0, tree1, tree2, tree3]
 
     log.info("OODS sampling")
-    t_oods = channel.draw_felt()
-    z = point_from_t(t_oods)
-    sampled = _sample_all_trees(trees, layout, z)
-    log.info("  sampled all trees")
-    for tvals in sampled:
-        for cvals in tvals:
-            channel.mix_felts([tuple(v) for v in cvals])
+    if dc is not None:
+        # draw t, map to z, and build every sampling group's half-bases on
+        # device; dispatch the tensor-product samples; mix them in walk
+        # order — all without leaving the device
+        from .core.devchan import _oods_jit, _quot_consts_jit
+
+        zx, zy, bases = _oods_jit(dc.digest, tuple(groups.keys()))
+        dc.counter = 1
+        garrs = []
+        for members, (b_lo, b_hi) in zip(groups.values(), bases):
+            rows = tuple(trees[ti].records[ci].coeffs for ti, ci, _ in members)
+            garrs.append(poly._sample_tensor_jit(rows, b_lo, b_hi))
+        dc.mix_chain(tuple(garrs), mix_spec)
+        sampled = None
+    else:
+        t_oods = channel.draw_felt()
+        z = point_from_t(t_oods)
+        sampled = _sample_all_trees(trees, layout, z)
+        log.info("  sampled all trees")
+        for tvals in sampled:
+            for cvals in tvals:
+                channel.mix_felts([tuple(v) for v in cvals])
 
     log.info("Quotients")
-    alpha_q = channel.draw_felt()
-    claims_by_size: Dict[int, List[Tuple[jnp.ndarray, List[quotients.QuotientClaim]]]] = {}
-    aidx = 0
-    for tree, metas, tvals in zip(trees, layout.trees, sampled):
-        for rec, meta, cvals in zip(tree.records, metas, tvals):
-            if not meta.shifts:
-                continue  # committed but never opened (unused ladder sizes)
-            size = rec.log_size + blow
-            cl = []
-            for s, v in zip(meta.shifts, cvals):
-                cl.append(quotients.QuotientClaim(
-                    point=shifted_point(z, meta.log_size, s), value=v, alpha_index=aidx))
-                aidx += 1
-            claims_by_size.setdefault(size, []).append((rec.extended, cl))
-    fri_inputs = {}
-    for size, pairs in claims_by_size.items():
-        log.info("  quotients size 2^%d (%d columns)", size, len(pairs))
-        fri_inputs[size] = quotients.accumulate_quotients(
-            size, [p[0] for p in pairs], [p[1] for p in pairs], alpha_q,
-            ops=ops,
-        )
+    if dc is not None:
+        # per-size claim structure is static: alpha_q, beta0 and every
+        # size's point-group constants/weights come from one executable
+        size_cols: Dict[int, list] = {}
+        for ti, metas in enumerate(layout.trees):
+            for ci, meta in enumerate(metas):
+                if not meta.shifts:
+                    continue  # committed but never opened
+                size_cols.setdefault(meta.log_size + blow, []).append(
+                    trees[ti].records[ci].extended)
+        _alpha_q_dev, beta0_dev, consts_w = _quot_consts_jit(
+            dc.digest, zx, zy, tuple(garrs), qspec)
+        dc.counter = 2
+        fri_inputs = {}
+        for size, (consts, w) in zip(size_order, consts_w):
+            log.info("  quotients size 2^%d (%d columns)", size,
+                     len(size_cols[size]))
+            g0 = tuple(range(len(size_cols[size])))
+            g1 = tuple(i for i, sh in enumerate(size_shifts[size]) if 1 in sh)
+            idx_groups = (g0, g1) if g1 else (g0,)
+            px, py = quotients._dev_points(size)
+            fri_inputs[size] = quotients._accumulate_all_jit(
+                tuple(size_cols[size]), consts, w, px, py, idx_groups)
+    else:
+        alpha_q = channel.draw_felt()
+        claims_by_size: Dict[int, List[Tuple[jnp.ndarray, List[quotients.QuotientClaim]]]] = {}
+        aidx = 0
+        for tree, metas, tvals in zip(trees, layout.trees, sampled):
+            for rec, meta, cvals in zip(tree.records, metas, tvals):
+                if not meta.shifts:
+                    continue  # committed but never opened (unused ladder sizes)
+                size = rec.log_size + blow
+                cl = []
+                for s, v in zip(meta.shifts, cvals):
+                    cl.append(quotients.QuotientClaim(
+                        point=shifted_point(z, meta.log_size, s), value=v, alpha_index=aidx))
+                    aidx += 1
+                claims_by_size.setdefault(size, []).append((rec.extended, cl))
+        fri_inputs = {}
+        for size, pairs in claims_by_size.items():
+            log.info("  quotients size 2^%d (%d columns)", size, len(pairs))
+            fri_inputs[size] = quotients.accumulate_quotients(
+                size, [p[0] for p in pairs], [p[1] for p in pairs], alpha_q,
+                ops=ops,
+            )
 
     log.info("FRI")
-    fri_prover = fri.fri_commit(fri_inputs, channel, ops=ops)
+    if dc is not None:
+        from .core import blake2s
+        from .utils.transfer import pull_all
+
+        fri_prover, fri_roots, fri_cur, digest = fri.fri_commit_async(
+            fri_inputs, beta0_dev, dc.digest)
+
+        # ---- sync A: the ONE mid-prove pull — phase roots, claimed sums,
+        # sampled values, FRI layer roots + last value, final digest ----
+        futs = ([tree1.tree.layers[0], tree2.tree.layers[0],
+                 tree3.tree.layers[0]]
+                + list(claimed_futs) + list(garrs) + list(fri_roots)
+                + [fri_cur, digest])
+        host = pull_all(futs)
+        nc = len(claimed_futs)
+        ng = len(garrs)
+        for t, rw in zip((tree1, tree2, tree3), host[:3]):
+            t.tree.root = blake2s.digest_to_bytes(
+                np.asarray(rw).reshape(8))
+        iclaim = {
+            comp.name: tuple(int(v) for v in arr)
+            for comp, arr in zip(comps, host[3:3 + nc])
+        }
+        if not lookup_sum_valid(iclaim) and not ghost:
+            raise ProvingError("LogUp sum does not cancel — invalid trace")
+        sampled = _remap_sampled(groups, host[3 + nc:3 + nc + ng], layout)
+        fri.fri_commit_finish(fri_prover, host[3 + nc + ng:-2], host[-2])
+        channel.digest = blake2s.digest_to_bytes(host[-1])
+        channel._counter = 0
+    else:
+        fri_prover = fri.fri_commit(fri_inputs, channel, ops=ops)
 
     log.info("PoW + queries")
     nonce = channel.grind_pow(config.pow_bits)
@@ -680,10 +789,16 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
         pos = query_positions_by_level(queries, s_max, levels)
         pending.append(merkle.decommit_async(tree.tree, pos,
                                              n_queries=config.n_queries))
-    decommitments = merkle.finalize_many(pending)
-    log.info("  trees decommitted")
-    fri.fri_decommit(fri_prover, queries)
-    log.info("  fri decommitted")
+    # ---- sync B: the 4 trees' and every FRI layer's decommitments plus the
+    # FRI value gathers come back in ONE host transfer ----
+    positions_list, fri_pendings, val_futs = fri.fri_decommit_async(
+        fri_prover, queries)
+    decs_all, vals_host = merkle.finalize_with_extra(
+        pending + fri_pendings, val_futs)
+    decommitments = decs_all[:len(trees)]
+    fri.fri_decommit_finish(fri_prover, positions_list,
+                            decs_all[len(trees):], vals_host)
+    log.info("  decommitted")
 
     log.info("  assembling proof")
     return {
@@ -721,6 +836,67 @@ def record_rows(layout: SystemLayout) -> List[List[tuple]]:
     return out
 
 
+def transcript_specs(layout: SystemLayout):
+    """Static device-transcript structure for a layout, shared by the prove
+    path and warmup (which AOT-loads the devchan executables from the claim
+    alone): (wspec, groups, member_pos, mix_spec, qspec, size_order,
+    size_shifts).
+
+    - wspec: per-component weight-construction spec (devchan._comp_weights_jit)
+    - groups: sampling_plan(layout) (insertion order = walk order)
+    - member_pos: (tree, column, point) -> (group index, member index)
+    - mix_spec: the sampled-values mix walk (devchan._mix_chain_jit)
+    - qspec: per-size point-group spec (devchan._quot_consts_jit)
+    - size_order / size_shifts: commitment sizes in first-encounter order
+      and each size's per-column shift tuples (the idx_groups structure)
+    """
+    from .framework.component import weight_spec
+
+    comps = layout.components
+    offs = []
+    off = 0
+    for comp in comps:
+        offs.append(off)
+        off += comp.constraint_count()
+    wspec = tuple(weight_spec(c, o) for c, o in zip(comps, offs))
+
+    groups = sampling_plan(layout)
+    member_pos: Dict[tuple, tuple] = {}
+    for gi, members in enumerate(groups.values()):
+        for mi, key in enumerate(members):
+            member_pos[key] = (gi, mi)
+    mix_spec = tuple(
+        tuple(member_pos[(ti, ci, pi)] for pi in range(len(meta.shifts)))
+        for ti, metas in enumerate(layout.trees)
+        for ci, meta in enumerate(metas))
+
+    blow = layout.config.log_blowup
+    aidx = 0
+    size_order: List[int] = []
+    size_shifts: Dict[int, list] = {}
+    size_groups: Dict[int, dict] = {}
+    for ti, metas in enumerate(layout.trees):
+        for ci, meta in enumerate(metas):
+            if not meta.shifts:
+                continue
+            size = meta.log_size + blow
+            if size not in size_shifts:
+                size_order.append(size)
+                size_shifts[size] = []
+            size_shifts[size].append(meta.shifts)
+            for pi, s in enumerate(meta.shifts):
+                gi, _mi = member_pos[(ti, ci, pi)]
+                ent = size_groups.setdefault(size, {}).setdefault(s, (gi, []))
+                assert ent[0] == gi
+                ent[1].append(aidx)
+                aidx += 1
+    qspec = tuple(
+        (size - blow, tuple((s, gi, tuple(idxs))
+                            for s, (gi, idxs) in size_groups[size].items()))
+        for size in size_order)
+    return wspec, groups, member_pos, mix_spec, qspec, size_order, size_shifts
+
+
 def sampling_plan(layout: SystemLayout) -> Dict[tuple, list]:
     """(trace log, shift) -> [(tree, column, point index)] in walk order.
     Shared by the prover's sampling dispatch and warmup (which must reproduce
@@ -753,11 +929,16 @@ def _sample_all_trees(trees, layout: SystemLayout, z) -> List[List[List[tuple]]]
         outs.append(poly._sample_tensor_jit(
             rows, jnp.asarray(b_lo), jnp.asarray(b_hi)))
     host = pull_all(list(outs))
+    return _remap_sampled(groups, host, layout)
 
+
+def _remap_sampled(groups, host_arrs, layout: SystemLayout):
+    """Scatter pulled (4, C) sampling-group arrays back into the per-tree
+    per-column per-point nested structure of the proof."""
     sampled: List[List[List[Optional[tuple]]]] = [
         [[None] * len(meta.shifts) for meta in metas] for metas in layout.trees
     ]
-    for members, arr in zip(groups.values(), host):
+    for members, arr in zip(groups.values(), host_arrs):
         for (ti, ci, pi), c in zip(members, range(arr.shape[1])):
             sampled[ti][ci][pi] = tuple(int(arr[k, c]) for k in range(4))
     return sampled  # type: ignore[return-value]

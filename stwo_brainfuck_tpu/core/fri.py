@@ -259,6 +259,77 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
     )
 
 
+def fri_commit_async(inputs: Dict[int, jnp.ndarray], beta0_dev: jnp.ndarray,
+                     digest: jnp.ndarray):
+    """Device-channel fri_commit: the whole commit phase (folds, layer
+    commits, root->beta transcript chain, the last-layer mix) is async
+    dispatches against a DEVICE digest; NOTHING is pulled here. Returns
+    (prover, root_futures, last_eval, digest') — the caller batches the
+    pull with the rest of the prove's outputs (air.py sync A) and fills
+    prover.proof via fri_commit_finish. Transcript bytes are identical to
+    the host loop (pinned by tests)."""
+    from .devchan import _mix_chain_jit
+
+    logs = sorted(inputs, reverse=True)
+    assert logs, "no FRI inputs"
+    max_log = logs[0]
+
+    cur = _fold_jit(inputs[max_log], _dev_itw("c", max_log), beta0_dev)
+    m = max_log - 1
+    layers: List[merkle.MerkleTree] = []
+    layer_evals: List[jnp.ndarray] = []
+    layer_levels: List[int] = []
+
+    def inject(cur, m):
+        if m + 1 in inputs and m + 1 != max_log:
+            return _fold_add_jit(inputs[m + 1], _dev_itw("c", m + 1),
+                                 beta0_dev, cur)
+        return cur
+
+    while m > LOG_LAST_LAYER:
+        cur = inject(cur, m)
+        tree = merkle.commit({m: cur}, pull_root=False)
+        layers.append(tree)
+        layer_evals.append(cur)
+        layer_levels.append(m)
+        digest, beta, beta2 = _mix_draw2_jit(digest, tree.layers[0][0])
+        if m - 1 > LOG_LAST_LAYER and m not in inputs:
+            cur = _fold2_jit(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
+                             beta, beta2)
+            m -= 2
+            continue
+        cur = _fold_jit(cur, _dev_itw("l", m), beta)
+        m -= 1
+        if m > LOG_LAST_LAYER:
+            cur = inject(cur, m)
+            cur = _fold_jit(cur, _dev_itw("l", m), beta2)
+            m -= 1
+
+    cur = inject(cur, m)
+    # last-layer value mix (mix_felts([last])) on device: cur[:, 0]
+    digest = _mix_chain_jit(digest, (cur,), (((0, 0),),))
+
+    proof = FriProof(layer_roots=[], last_layer_value=None)
+    prover = FriProver(
+        proof=proof, layers=layers, layer_evals=layer_evals,
+        layer_levels=layer_levels,
+        circle_fold_alpha=beta0_dev, max_log=max_log,
+    )
+    return prover, [t.layers[0] for t in layers], cur, digest
+
+
+def fri_commit_finish(prover: FriProver, root_rows, last_eval_host) -> None:
+    """Fill the proof from the batched pull: root_rows are the pulled (1, 8)
+    root layers in order, last_eval_host the pulled (4, 2) last evaluation."""
+    from . import blake2s
+
+    for t, rw in zip(prover.layers, root_rows):
+        t.root = blake2s.digest_to_bytes(np.asarray(rw).reshape(8))
+        prover.proof.layer_roots.append(t.root)
+    prover.proof.last_layer_value = tuple(
+        int(x) for x in np.asarray(last_eval_host)[:, 0])
+
+
 def _fri_commit_device(inputs: Dict[int, jnp.ndarray], channel,
                        max_log: int) -> FriProver:
     """Single-chip fri_commit with the Fiat-Shamir chain on device: every
@@ -334,13 +405,13 @@ def _gather_vals_jit(mats: tuple, idxs: tuple):
     return tuple(jnp.take(m, i, axis=1) for m, i in zip(mats, idxs))
 
 
-def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
-    """Decommit each layer at the query fold positions (pairs), filling
-    proof.layer_decommitments / layer_values. queries are positions in the
-    max circle domain."""
-    from ..utils.transfer import pull_all
-
-    pending = []
+def fri_decommit_async(prover: FriProver, queries: Sequence[int]):
+    """Issue every layer's decommitment + value gathers without pulling.
+    Returns (positions_list, pendings, val_futs); the caller batches the
+    pull (with the 4 main trees' decommitments — air.py sync B) and calls
+    fri_decommit_finish."""
+    pendings = []
+    positions_list = []
     val_mats = []
     val_idxs = []
     n_q = len(queries)
@@ -350,24 +421,40 @@ def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
         # witness hashes only: the layer values travel once, in
         # proof.layer_values (Merkle-checked by fri_verify_queries); a copy
         # inside the decommitment would be ignored bytes (~30 KB/proof)
-        dec = merkle.decommit_async(tree, positions, n_queries=n_q,
-                                    include_values=False)
+        pendings.append(merkle.decommit_async(tree, positions, n_queries=n_q,
+                                              include_values=False))
         # gather shape pinned by n_q (positions <= 4*n_q), not the draw
         bound = min(1 << m, 1 << max(0, 4 * n_q - 1).bit_length())
         idx, _n = merkle._padded_idx(positions, bound)
         val_mats.append(evals)
         val_idxs.append(idx)
-        pending.append((positions, dec))
+        positions_list.append(positions)
     # every layer's value gather in one executable
     val_futs = list(_gather_vals_jit(tuple(val_mats), tuple(val_idxs)))
-    # one host transfer for all layers' decommitments and values
-    decs = merkle.finalize_many([d for _, d in pending])
-    vals_host = pull_all(val_futs)
-    for (positions, _), dec, gathered in zip(pending, decs, vals_host):
+    return positions_list, pendings, val_futs
+
+
+def fri_decommit_finish(prover: FriProver, positions_list, decs,
+                        vals_host) -> None:
+    """Fill proof.layer_decommitments / layer_values from the pulled
+    decommitments and value gathers."""
+    for positions, dec, gathered in zip(positions_list, decs, vals_host):
         prover.proof.layer_decommitments.append(dec)
         prover.proof.layer_values.append(
             {p: tuple(int(x) for x in gathered[:, i]) for i, p in enumerate(positions)}
         )
+
+
+def fri_decommit(prover: FriProver, queries: Sequence[int]) -> None:
+    """Decommit each layer at the query fold positions (pairs), filling
+    proof.layer_decommitments / layer_values. queries are positions in the
+    max circle domain."""
+    from ..utils.transfer import pull_all
+
+    positions_list, pendings, val_futs = fri_decommit_async(prover, queries)
+    decs = merkle.finalize_many(pendings)
+    vals_host = pull_all(val_futs)
+    fri_decommit_finish(prover, positions_list, decs, vals_host)
 
 
 class FriVerificationError(Exception):

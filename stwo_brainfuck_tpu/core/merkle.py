@@ -235,6 +235,16 @@ class PendingDecommitment:
 
 
 def finalize_many(pendings: Sequence["PendingDecommitment"]) -> List[MerkleDecommitment]:
+    decs, _ = finalize_with_extra(pendings, [])
+    return decs
+
+
+def finalize_with_extra(pendings: Sequence["PendingDecommitment"],
+                        extra_futs: Sequence[jnp.ndarray]):
+    """Materialize many pending decommitments PLUS arbitrary extra device
+    arrays with ONE host transfer (air.py batches the 4 trees' and all FRI
+    layers' decommitments with the FRI value gathers this way — sync B).
+    Returns (decommitments, extra_host_arrays)."""
     from ..utils.transfer import pull_all
 
     futs = []
@@ -243,13 +253,14 @@ def finalize_many(pendings: Sequence["PendingDecommitment"]) -> List[MerkleDecom
         f = p.futures()
         futs.extend(f)
         counts.append(len(f))
-    host = pull_all(futs)
+    base = len(futs)
+    host = pull_all(futs + list(extra_futs))
     out = []
     off = 0
     for p, c in zip(pendings, counts):
         out.append(p.build(host[off : off + c]))
         off += c
-    return out
+    return out, host[base:]
 
 
 def _padded_idx(positions, bound: int | None = None) -> Tuple[jnp.ndarray, int]:

@@ -123,8 +123,18 @@ class TreeProver:
         by_level = {lg + config.log_blowup: ext_all[lg] for lg in groups}
         if max(by_level) >= _SYNC_COMMIT_LOG:
             jax.block_until_ready(list(ext_all.values()))
-        self.tree = commit(by_level)
-        channel.mix_root(self.tree.root)
+        from .devchan import DeviceChannel
+
+        if isinstance(channel, DeviceChannel):
+            # device-resident transcript: the root stays on device (mixed as
+            # its (1, 8) word row); the caller batches the root pull with
+            # the rest of the prove's outputs and fills self.tree.root then
+            assert ops is None, "device channel is the single-chip path"
+            self.tree = commit(by_level, pull_root=False)
+            channel.mix_root(self.tree.layers[0])
+        else:
+            self.tree = commit(by_level)
+            channel.mix_root(self.tree.root)
 
     @classmethod
     def from_records(cls, records: List["ColumnRecord"], config: PcsConfig,

@@ -122,6 +122,18 @@ def inv(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([out0, out1, out2, out3])
 
 
+@_inline_jit
+def frobenius(x: jnp.ndarray) -> jnp.ndarray:
+    """phi(x) = x^p on device (shape (4, ...)): conj(a) + conj(b)·c·u with
+    the precomputed twist c = (2+i)^((p-1)/2) — bit-identical to
+    h_frobenius. Used by the device-resident OODS quotient constants."""
+    c_r, c_i = _FROB_C
+    b_r, b_i = x[2], m31.neg(x[3])
+    out2 = m31.sub(m31.mul(b_r, jnp.uint32(c_r)), m31.mul(b_i, jnp.uint32(c_i)))
+    out3 = m31.add(m31.mul(b_r, jnp.uint32(c_i)), m31.mul(b_i, jnp.uint32(c_r)))
+    return jnp.stack([x[0], m31.neg(x[1]), out2, out3])
+
+
 def pow_const(x: jnp.ndarray, e: int) -> jnp.ndarray:
     result = None
     base = x

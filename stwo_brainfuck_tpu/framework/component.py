@@ -406,7 +406,10 @@ def build_interaction_trace_async(
     """Like build_interaction_trace but returns the claimed sum as a DEVICE
     array so callers can batch the host pulls across components."""
     fn = _interaction_fn(type(component), component.log_size)
-    els_dev = {k: e.device() for k, e in elements.items()}
+    if elements and isinstance(next(iter(elements.values())), LookupElements):
+        els_dev = {k: e.device() for k, e in elements.items()}
+    else:
+        els_dev = elements  # already-device dicts (devchan._els_jit)
     q_cols, s, claimed = fn(main_cols, els_dev, _device_perm(component.log_size))
     return list(q_cols) + [s], claimed
 
@@ -554,51 +557,79 @@ def evaluate_constraints_device(
     return [c.v for c in ev.constraints]
 
 
+def weight_spec(component: Component, alpha_offset: int) -> tuple:
+    """Static weight-construction spec for one component's composition
+    contribution — the device channel (core/devchan._comp_weights_jit)
+    builds the weight matrices from a drawn alpha with these entries:
+    ("dense", offset, n_cons) or ("union", offset, layout, n_slots)."""
+    cls = type(component)
+    if getattr(cls, "union_group", None):
+        _fn, n_slots = _union_constraints_fn(cls, component.log_size)
+        return ("union", alpha_offset, tuple(component.union_layout()),
+                n_slots)
+    return ("dense", alpha_offset, component.constraint_count())
+
+
 def composition_contribution(
     component: Component,
     main_cols: Dict[str, jnp.ndarray],
     interaction_cols: List[jnp.ndarray],
     s_prev: jnp.ndarray,
     is_first: jnp.ndarray,
-    claimed_sum: tuple,
+    claimed_sum,
     elements: Dict[str, LookupElements],
-    alpha: tuple,
+    alpha,
     alpha_offset: int,
     v_inv: jnp.ndarray,
     aot: bool = False,
+    weights: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, int]:
     """Sum_i alpha^(offset+i) * C_i / V over the evaluation domain (fused,
     jitted per component class/size/shape — or per UNION GROUP/size for
     components declaring union_group). Returns (QM31 array, next
     alpha offset).
 
+    Device-channel mode: claimed_sum may be a device (4,) array, elements
+    may already be device dicts, and `weights` may carry the device-built
+    weight matrix (devchan._comp_weights_jit) — alpha is then unused. All
+    operand shapes match the host forms, so the constraint executables are
+    identical either way.
+
     aot=True (warmup): array args may be ShapeDtypeStructs — the executable
     is loaded via .lower().compile() (sharing the jit cache with later real
     dispatches) without executing anything; returns (None, next offset)."""
     cls = type(component)
-    els_dev = {k: e.device() for k, e in elements.items()}
-    claimed_dev = jnp.asarray(np.array(claimed_sum, np.uint32))
+    if elements and isinstance(next(iter(elements.values())), LookupElements):
+        els_dev = {k: e.device() for k, e in elements.items()}
+    else:
+        els_dev = elements
+    claimed_dev = (claimed_sum if not isinstance(claimed_sum, tuple)
+                   else jnp.asarray(np.array(claimed_sum, np.uint32)))
     if getattr(cls, "union_group", None):
         fn, n_slots = _union_constraints_fn(cls, component.log_size)
         n_cons = component.constraint_count()
-        weights = np.zeros((n_slots, 4), np.uint32)
-        for local, slot in enumerate(component.union_layout()):
-            weights[slot] = qm31.h_pow(alpha, alpha_offset + local)
+        if weights is None:
+            w = np.zeros((n_slots, 4), np.uint32)
+            for local, slot in enumerate(component.union_layout()):
+                w[slot] = qm31.h_pow(alpha, alpha_offset + local)
+            weights = jnp.asarray(w)
         params = {k: jnp.uint32(v % P_INT)
                   for k, v in component.union_params().items()}
         args = (main_cols, interaction_cols, s_prev, is_first, claimed_dev,
-                els_dev, jnp.asarray(weights), v_inv, params)
+                els_dev, weights, v_inv, params)
         if aot:
             fn.lower(*args).compile()
             return None, alpha_offset + n_cons
         out = fn(*args)
         return out, alpha_offset + n_cons
     fn, n_cons = _constraints_fn(cls, component.log_size)
-    powers = np.empty((n_cons, 4), np.uint32)
-    for i in range(n_cons):
-        powers[i] = qm31.h_pow(alpha, alpha_offset + i)
+    if weights is None:
+        powers = np.empty((n_cons, 4), np.uint32)
+        for i in range(n_cons):
+            powers[i] = qm31.h_pow(alpha, alpha_offset + i)
+        weights = jnp.asarray(powers)
     args = (main_cols, interaction_cols, s_prev, is_first,
-            claimed_dev, els_dev, jnp.asarray(powers), v_inv)
+            claimed_dev, els_dev, weights, v_inv)
     if aot:
         fn.lower(*args).compile()
         return None, alpha_offset + n_cons

@@ -341,14 +341,13 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
         for s in sorted(fold2_sizes, reverse=True):
             load(fri._fold2_jit, _z(4, 1 << s), _z(1 << (s - 1)),
                  _z(1 << (s - 2)), one, one)
-        # device-resident FRI transcript: the mix+draw step and the final
-        # batched pull (layer roots + last value + digest)
+        # device-resident FRI transcript: the per-layer mix+draw step and
+        # the last-layer value mix (the batched pull is warmed in "pulls")
         load(fri._mix_draw2_jit, _z(8), _z(8))
-        from .utils import transfer
+        from .core.devchan import _mix_chain_jit
 
-        load(transfer._flatten_jit,
-             tuple([_z(8)] * len(layer_levels))
-             + (_z(4, 1 << fri_last_log), _z(8)))
+        load(_mix_chain_jit, _z(8), (_z(4, 1 << fri_last_log),),
+             (((0, 0),),))
 
     thunks.append(("folds",
                    ("folds", tuple(sorted(fold_sizes)),
@@ -432,9 +431,43 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
                     max_log),
                    warm_fri_decommit))
 
+    # --- device-resident transcript (core/devchan.py) ---------------------
+    # The specs are static per claim; shared with the prove path via
+    # air.transcript_specs so the enumeration cannot drift.
+    wspec, groups, _mp, mix_spec, qspec, _so, _ss = air.transcript_specs(layout)
+    group_sizes = tuple(len(m) for m in groups.values())
+    n_comps = len(layout.components)
+
+    def warm_devchan():
+        from .core.devchan import (
+            _comp_weights_jit,
+            _els_jit,
+            _mix_chain_jit,
+            _mix_root_jit,
+            _oods_jit,
+            _quot_consts_jit,
+        )
+
+        load(_mix_root_jit, _z(8), _z(1, 8))
+        load(_els_jit, _z(8))
+        load(_mix_chain_jit, _z(8), tuple(_z(4) for _ in range(n_comps)),
+             tuple(((i, -1),) for i in range(n_comps)))
+        load(_comp_weights_jit, _z(8), wspec, 0)
+        load(_oods_jit, _z(8), tuple(groups.keys()))
+        load(_mix_chain_jit, _z(8), tuple(_z(4, c) for c in group_sizes),
+             mix_spec)
+        load(_quot_consts_jit, _z(8), _z(4), _z(4),
+             tuple(_z(4, c) for c in group_sizes), qspec)
+
+    thunks.append(("devchan",
+                   ("devchan", wspec, tuple(groups.keys()), group_sizes,
+                    mix_spec, qspec, n_comps),
+                   warm_devchan))
+
     # --- batched host-pull (flatten) signatures, exactly as the prove issues
-    # them: claimed sums, sampled-value groups, the 4-tree decommit, the FRI
-    # layer decommits + value gathers --------------------------------------
+    # them: sync A (phase roots + claimed sums + sampled groups + FRI
+    # outputs + digest) and sync B (4-tree + FRI-layer decommitments + FRI
+    # value gathers) -------------------------------------------------------
     tree_order = [tuple(sorted((lg + blow, c) for lg, c in g.items()))
                   for g in _tree_groups(layout)]
 
@@ -443,23 +476,23 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
 
         nq = config.n_queries
         b = 1 << max(0, 4 * nq - 1).bit_length()
-        load(transfer._flatten_jit, tuple(_z(4) for _ in layout.components))
-        load(transfer._flatten_jit,
-             tuple(_z(4, len(m)) for m in air.sampling_plan(layout).values()))
+        futs = [_z(1, 8)] * 3
+        futs += [_z(4) for _ in layout.components]
+        futs += [_z(4, c) for c in group_sizes]
+        futs += [_z(1, 8) for _ in layer_levels]
+        futs += [_z(4, 1 << fri_last_log), _z(8)]
+        load(transfer._flatten_jit, tuple(futs))
         futs = [_z(*s) for sig in tree_order
                 for s in merkle.decommit_shapes(sig, nq)]
+        futs += [_z(*s) for m in layer_levels
+                 for s in merkle.decommit_shapes(((m, 4),), nq,
+                                                 include_values=False)]
+        futs += [_z(4, min(1 << m, b)) for m in layer_levels]
         load(transfer._flatten_jit, tuple(futs))
-        futs = [_z(*s) for m in layer_levels
-                for s in merkle.decommit_shapes(((m, 4),), nq,
-                                                include_values=False)]
-        load(transfer._flatten_jit, tuple(futs))
-        load(transfer._flatten_jit,
-             tuple(_z(4, min(1 << m, b)) for m in layer_levels))
 
     thunks.append(("pulls",
                    ("pulls", tuple(tree_order), tuple(layer_levels),
-                    len(layout.components),
-                    tuple(len(m) for m in air.sampling_plan(layout).values()),
+                    len(layout.components), group_sizes, fri_last_log,
                     config.n_queries),
                    warm_pulls))
 
@@ -607,8 +640,8 @@ def warmup_thunks(claim: Dict[str, int], config, aot: bool = True) -> List:
     # executing thunks (merkle walks) come after the kernels they reuse.
     prio = {"cons": 0, "quot": 1, "sampling": 2, "inter": 3, "fft": 4,
             "mk_kernel": 5, "gather": 6, "comp_fft": 7, "folds": 8,
-            "fri_decommit": 9, "pulls": 10, "is_first": 11, "pow": 12,
-            "exec_root": 13, "host_caches": 14}
+            "fri_decommit": 9, "pulls": 10, "is_first": 11, "devchan": 12,
+            "pow": 13, "exec_root": 14, "host_caches": 15}
     thunks.sort(key=lambda t: prio.get(t[0], 16))
     return thunks
 
