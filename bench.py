@@ -281,6 +281,23 @@ def main() -> int:
     from stwo_brainfuck_tpu import air, warmup as warmup_mod
     from stwo_brainfuck_tpu.core.pcs import PcsConfig
 
+    # Cache-seed status (VERDICT r4 item 1): record in the driver-visible
+    # stderr whether the persistent cache was seeded for THIS source tree
+    # (tools/seed_cache.py); a stale manifest means the warmup below pays
+    # real compiles instead of cache loads.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        import seed_cache
+
+        with open(os.path.join(os.path.dirname(__file__),
+                               ".cache_manifest.json")) as f:
+            manifest = json.load(f)
+        fresh = manifest.get("tree_hash") == seed_cache.tree_hash()
+        logging.info("cache manifest: seeded=%s tree_match=%s",
+                     manifest.get("seeded"), fresh)
+    except Exception as exc:
+        logging.info("cache manifest: unavailable (%s)", exc)
+
     program = os.environ.get("BENCH_PROGRAM", "fib19")
 
     if program == "m31":

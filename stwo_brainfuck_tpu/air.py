@@ -1072,6 +1072,7 @@ def _verify_brainfuck_inner(proof: dict, min_config: Optional[PcsConfig]) -> Non
 
     # Merkle verification of the 4 trees; collect values per level
     values_by_size: Dict[int, List[Tuple[List[int], List[quotients.QuotientClaim]]]] = {}
+    positions_by_size: Dict[int, List[int]] = {}
     aidx = 0
     for ti, (root, metas, tvals, dec) in enumerate(zip(roots, layout.trees, sampled, decs)):
         col_levels: Dict[int, int] = {}
@@ -1098,27 +1099,24 @@ def _verify_brainfuck_inner(proof: dict, min_config: Optional[PcsConfig]) -> Non
                     point=shifted_point(z, meta.log_size, s), value=v, alpha_index=aidx))
                 aidx += 1
             vals = got[lvl][ci]
-            positions = pos[lvl]
-            values_by_size.setdefault(lvl, []).append(
-                (dict(zip(positions, vals)), claims)
-            )
+            positions_by_size[lvl] = pos[lvl]
+            values_by_size.setdefault(lvl, []).append((vals, claims))
 
-    # FRI query verification (point-group constants prepared once per size —
-    # the naive per-position per-claim recomputation dominated verify time)
-    prepared_by_size = {
-        size: quotients.prepare_point_groups([c[1] for c in cols], alpha_q)
-        for size, cols in values_by_size.items()
-    }
+    # FRI query verification: every size's combined quotient is reconstructed
+    # at ALL its query positions in one vectorized batch (point-group
+    # constants prepared once per size; the per-position tuple-math loop
+    # dominated verify wall-clock — VERDICT r4 item 5)
+    qvals_by_size: Dict[int, dict] = {}
+    for size, cols in values_by_size.items():
+        prepared = quotients.prepare_point_groups(
+            [c[1] for c in cols], alpha_q)
+        mat = np.array([c[0] for c in cols], np.uint64)
+        qvals_by_size[size] = quotients.quotient_values_batch(
+            size, positions_by_size[size], mat, prepared)
 
     def input_values_fn(size, position):
-        if size not in values_by_size:
-            return None
-        cols = values_by_size[size]
-        return quotients.quotient_value_at_position(
-            size, position,
-            [c[0][position] for c in cols],
-            prepared=prepared_by_size[size],
-        )
+        d = qvals_by_size.get(size)
+        return None if d is None else d[position]
 
     try:
         fri.fri_verify_queries(fri_proof, (beta0, betas), s_max, queries, input_values_fn)

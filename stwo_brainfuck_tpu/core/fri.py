@@ -574,6 +574,7 @@ def _host_fold(a: tuple, b: tuple, beta: tuple, itw: int) -> tuple:
     return qm31.h_add(s, qm31.h_mul(beta, d))
 
 
+@lru_cache(maxsize=1 << 14)
 def _circle_itw_host(log_size: int, t: int) -> int:
     """inv(2*y_t) for ONE fold pair (verifier): y_t = fwd[0][t] is the y of
     the half-coset point at bit-reversed block t — computed point-wise, so a
@@ -586,6 +587,7 @@ def _circle_itw_host(log_size: int, t: int) -> int:
     return pow(2 * y % P_INT, P_INT - 2, P_INT)
 
 
+@lru_cache(maxsize=1 << 14)
 def _line_itw_host(line_log: int, t: int) -> int:
     """inv(2*x_t) for ONE line-fold pair (verifier): x_t = fwd[1][t] of the
     size-2^(line_log+1) twiddles = x of the half-coset point at bit-reversed

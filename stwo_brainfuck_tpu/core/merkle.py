@@ -433,11 +433,24 @@ def verify(
     witness = iter(decommitment.witness_hashes)
     prev_hashes: Dict[int, bytes] = {}
 
+    import hashlib
+
     for k in range(max_log, -1, -1):
         n_cols = column_log_sizes.get(k, 0)
         vals = decommitment.column_values.get(k, [])
         if len(vals) != n_cols or any(len(v) != len(needed[k]) for v in vals):
             raise MerkleVerificationError(f"bad column values at level {k}")
+        # per-position value bytes in one numpy pass (the per-cell
+        # int.to_bytes loop dominated host verify at ~100-column levels)
+        if vals:
+            arr = np.array(vals, dtype=np.uint64)
+            if (arr >> 32).any():
+                # out-of-range cells must fail hard, exactly like the old
+                # per-cell int.to_bytes(4) (silent wrapping would admit
+                # equivalent encodings of one witness — malleability)
+                raise MerkleVerificationError(
+                    f"column value out of range at level {k}")
+            val_bytes = np.ascontiguousarray(arr.T.astype("<u4"))
         cur: Dict[int, bytes] = {}
         for pi, p in enumerate(needed[k]):
             msg = b""
@@ -450,10 +463,8 @@ def verify(
                             msg += next(witness)
                         except StopIteration:
                             raise MerkleVerificationError("witness exhausted")
-            for col in vals:
-                msg += int(col[pi]).to_bytes(4, "little")
-            import hashlib
-
+            if vals:
+                msg += val_bytes[pi].tobytes()
             cur[p] = hashlib.blake2s(msg).digest()
         prev_hashes = cur
 

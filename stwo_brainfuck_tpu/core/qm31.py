@@ -229,6 +229,74 @@ ZERO = (0, 0, 0, 0)
 ONE = (1, 0, 0, 0)
 
 
+# Vectorized host QM31 arrays (shape (4, n) np.uint64, canonical < P):
+# the verifier's batched quotient reconstruction (quotients.py) works on
+# all query positions of a size at once instead of per-position tuple math.
+
+
+def npq_add(x, y):
+    return (x + y) % P_INT
+
+
+def npq_sub(x, y):
+    return (x + (P_INT - y)) % P_INT
+
+
+def _npq_cm_mul(ar, ai, br, bi):
+    rr = (ar * br + (P_INT - ai % P_INT) * (bi % P_INT)) % P_INT
+    ri = (ar * bi + ai * br) % P_INT
+    return rr, ri
+
+
+def npq_mul(x, y):
+    ac_r, ac_i = _npq_cm_mul(x[0], x[1], y[0], y[1])
+    bd_r, bd_i = _npq_cm_mul(x[2], x[3], y[2], y[3])
+    ad_r, ad_i = _npq_cm_mul(x[0], x[1], y[2], y[3])
+    bc_r, bc_i = _npq_cm_mul(x[2], x[3], y[0], y[1])
+    rbd_r = (2 * bd_r + (P_INT - bd_i)) % P_INT
+    rbd_i = (bd_r + 2 * bd_i) % P_INT
+    return np.stack([(ac_r + rbd_r) % P_INT, (ac_i + rbd_i) % P_INT,
+                     (ad_r + bc_r) % P_INT, (ad_i + bc_i) % P_INT])
+
+
+def _npq_cm_inv(ar, ai):
+    from .m31 import np_inv
+
+    norm = (ar * ar + ai * ai) % P_INT
+    ni = np_inv(norm).astype(np.uint64)
+    return (ar * ni) % P_INT, ((P_INT - ai) * ni) % P_INT
+
+
+def npq_inv(x):
+    a2_r, a2_i = _npq_cm_mul(x[0], x[1], x[0], x[1])
+    b2_r, b2_i = _npq_cm_mul(x[2], x[3], x[2], x[3])
+    rb2_r = (2 * b2_r + (P_INT - b2_i)) % P_INT
+    rb2_i = (b2_r + 2 * b2_i) % P_INT
+    den_r = (a2_r + (P_INT - rb2_r)) % P_INT
+    den_i = (a2_i + (P_INT - rb2_i)) % P_INT
+    di_r, di_i = _npq_cm_inv(den_r, den_i)
+    o0, o1 = _npq_cm_mul(x[0], x[1], di_r, di_i)
+    o2, o3 = _npq_cm_mul((P_INT - x[2]) % P_INT, (P_INT - x[3]) % P_INT,
+                         di_r, di_i)
+    return np.stack([o0, o1, o2, o3])
+
+
+def npq_const(v, n: int):
+    """Broadcast a host QM31 tuple to a (4, n) uint64 array."""
+    return np.broadcast_to(
+        np.array(v, np.uint64)[:, None], (4, n)).copy()
+
+
+def npq_frobenius(x):
+    """Vectorized h_frobenius on a (4, n) uint64 array (canonical out)."""
+    c_r, c_i = _FROB_C
+    b_r = x[2]
+    b_i = (P_INT - x[3]) % P_INT
+    o2 = (b_r * c_r + ((P_INT - b_i) % P_INT) * c_i) % P_INT
+    o3 = (b_r * c_i + b_i * c_r) % P_INT
+    return np.stack([x[0] % P_INT, (P_INT - x[1]) % P_INT, o2, o3])
+
+
 def h_recombine(coords):
     """Reassemble a QM31 value from the QM31-valued samples of its 4 M31
     coordinate polynomials: v = c0 + c1*i + c2*u + c3*iu."""

@@ -65,6 +65,27 @@ def point_at_storage(log_size: int, position: int) -> Tuple[int, int]:
         bitrev_int(position, log_size))
 
 
+def points_at_storage_batch(log_size: int, positions) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized point_at_storage: (x, y) uint32 arrays for many storage
+    positions, without materializing the 2^n domain."""
+    from .circle import M31_CIRCLE_LOG_ORDER, half_odds, points_at_indices
+
+    pos = np.asarray(positions, np.uint64)
+    # bit-reverse each position (log_size bits)
+    rev = np.zeros_like(pos)
+    v = pos.copy()
+    for _ in range(log_size):
+        rev = (rev << np.uint64(1)) | (v & np.uint64(1))
+        v >>= np.uint64(1)
+    half = np.uint64(1 << (log_size - 1))
+    hc = half_odds(log_size - 1)
+    order = np.uint64(1 << M31_CIRCLE_LOG_ORDER)
+    base = (np.uint64(hc.initial_index)
+            + np.where(rev < half, rev, rev - half) * np.uint64(hc.step)) % order
+    idx = np.where(rev < half, base, (order - base) % order)
+    return points_at_indices(idx)
+
+
 def _line_and_vanishing_coeffs(point, value):
     """Constants for l(p) and V(p):
     l(p) = value + (vb - v) * (p.y - z.y) / (zb.y - z.y)
@@ -158,24 +179,39 @@ def _group_claims(claims: Sequence[Sequence[QuotientClaim]]) -> dict:
     return groups
 
 
-def _group_constants(members, alpha: tuple):
+def _group_constants(members, alpha: tuple, powers: list = None):
     """Host constants of one point group: (consts (5, 4) = [A, B, dy, dx, vc],
-    weights (C_g, 4), member column indices)."""
-    a_const = qm31.ZERO
-    b_const = qm31.ZERO
-    weights = np.zeros((len(members), 4), np.uint32)
-    idxs = []
-    dy = dx = vc = None
-    for i, (ci, c) in enumerate(members):
-        l0, s, dy_, dx_, vc_ = _line_and_vanishing_coeffs(c.point, c.value)
-        dy, dx, vc = dy_, dx_, vc_  # identical for the whole group
-        aw = qm31.h_pow(alpha, c.alpha_index)
-        weights[i] = aw
-        idxs.append(ci)
-        a_const = qm31.h_add(a_const, qm31.h_mul(aw, l0))
-        b_const = qm31.h_add(b_const, qm31.h_mul(aw, s))
-    consts = np.array([a_const, b_const, dy, dx, vc], np.uint32)
-    return consts, weights, tuple(idxs)
+    weights (C_g, 4), member column indices). `powers` optionally carries the
+    precomputed alpha-power ladder (one incremental h_mul per index instead
+    of an h_pow per claim). The per-claim line coefficients are computed as
+    one vectorized (4, C) batch — the group shares its point, so dy/dx/vc
+    and the single QM31 inverse are computed once."""
+    point = members[0][1].point
+    zx, zy = point
+    zbx, zby = qm31.h_frobenius(zx), qm31.h_frobenius(zy)
+    dy = qm31.h_sub(zby, zy)
+    dx = qm31.h_sub(zbx, zx)
+    dy_inv = qm31.h_inv(dy)
+    vc = qm31.h_sub(qm31.h_mul(zy, dx), qm31.h_mul(zx, dy))
+
+    n = len(members)
+    vals = np.array([c.value for _ci, c in members], np.uint64).T % P_INT
+    aw = np.array(
+        [(powers[c.alpha_index] if powers is not None
+          else qm31.h_pow(alpha, c.alpha_index)) for _ci, c in members],
+        np.uint64)                                            # (C, 4)
+    vb = qm31.npq_frobenius(vals)
+    s_arr = qm31.npq_mul(qm31.npq_sub(vb, vals), qm31.npq_const(dy_inv, n))
+    l0 = qm31.npq_sub(vals, qm31.npq_mul(qm31.npq_const(zy, n), s_arr))
+    aw_t = aw.T                                               # (4, C)
+    a_const = qm31.npq_mul(aw_t, l0).sum(axis=1) % P_INT
+    b_const = qm31.npq_mul(aw_t, s_arr).sum(axis=1) % P_INT
+
+    consts = np.array([a_const, b_const,
+                       np.array(dy, np.uint64), np.array(dx, np.uint64),
+                       np.array(vc, np.uint64)], np.uint64).astype(np.uint32)
+    idxs = tuple(ci for ci, _c in members)
+    return consts, aw.astype(np.uint32), idxs
 
 
 @partial(dedup_jit, static_argnums=(5,))
@@ -255,14 +291,53 @@ def prepare_point_groups(claims: Sequence[Sequence[QuotientClaim]], alpha: tuple
     (accumulate_quotients), so the verifier evaluates
         (sum a^k f_k - A - B*p.y) / V
     per group: one inverse per (group, position) instead of per claim."""
+    groups = _group_claims(claims)
+    n_pows = 1 + max((c.alpha_index for ms in groups.values()
+                      for _ci, c in ms), default=0)
+    powers = [qm31.ONE]
+    for _ in range(n_pows - 1):
+        powers.append(qm31.h_mul(powers[-1], alpha))
     out = []
-    for members in _group_claims(claims).values():
-        consts, weights, idxs = _group_constants(members, alpha)
+    for members in groups.values():
+        consts, weights, idxs = _group_constants(members, alpha, powers)
         out.append((
             tuple(tuple(int(x) for x in c) for c in consts),
             [(ci, tuple(int(x) for x in w)) for ci, w in zip(idxs, weights)],
         ))
     return out
+
+
+def quotient_values_batch(log_size: int, positions, column_values: np.ndarray,
+                          prepared) -> dict:
+    """Verifier: the combined quotient at MANY storage positions at once
+    (vectorized host math; VERDICT r4 item 5 — the per-position tuple loop
+    dominated verify wall-clock). column_values: (C, n_pos) decommitted
+    values in claim-column order at `positions`. Returns {position: QM31
+    tuple}, bit-identical to quotient_value_at_position per position."""
+    positions = list(positions)
+    n = len(positions)
+    if n == 0:
+        return {}
+    xs, ys = points_at_storage_batch(log_size, positions)
+    px = np.zeros((4, n), np.uint64)
+    py = np.zeros((4, n), np.uint64)
+    px[0] = xs
+    py[0] = ys
+    vals = np.asarray(column_values, np.uint64) % P_INT   # (C, n)
+    acc = np.zeros((4, n), np.uint64)
+    for (consts_t, members), _ in zip(prepared, range(len(prepared))):
+        a_const, b_const, dy, dx, vc = (qm31.npq_const(c, n) for c in consts_t)
+        aw = np.array([w for _ci, w in members], np.uint64)   # (C_g, 4)
+        sel = vals[[ci for ci, _w in members]]                # (C_g, n)
+        # sum_c aw[c] * f_c: per-coordinate products reduced mod p, then a
+        # plain sum (C_g terms < 2^31 each — no u64 overflow below C ~ 2^33)
+        wf = ((aw.T[:, :, None] * sel[None, :, :]) % P_INT).sum(axis=1) % P_INT
+        num = qm31.npq_sub(wf, qm31.npq_add(a_const, qm31.npq_mul(b_const, py)))
+        van = qm31.npq_add(
+            qm31.npq_sub(qm31.npq_mul(dy, px), qm31.npq_mul(dx, py)), vc)
+        acc = qm31.npq_add(acc, qm31.npq_mul(num, qm31.npq_inv(van)))
+    return {p: tuple(int(acc[k, i]) for k in range(4))
+            for i, p in enumerate(positions)}
 
 
 def quotient_value_at_position(

@@ -717,14 +717,50 @@ def warmup(claim: Dict[str, int], config, max_workers: int | None = None,
     errors = []
     times: List[tuple] = []
 
+    # Per-family instrumentation (VERDICT r4 item 1): attribute every
+    # persistent-cache READ (executable deserialize) and real COMPILE to the
+    # thunk family that triggered it, so the warmup breakdown in the bench
+    # stderr shows WHERE a fresh process pays — loads vs compiles vs the
+    # constant-upload lane.
+    import threading
+
+    tl = threading.local()
+    fam_stats: Dict[str, list] = {}  # family -> [n, secs, reads, compiles]
+    try:
+        import jax._src.compiler as _jc
+
+        _orig_read = _jc._cache_read
+        _orig_compile = _jc._compile_and_write_cache
+
+        def _patched_read(*a, **k):
+            fam = getattr(tl, "family", "?")
+            fam_stats.setdefault(fam, [0, 0.0, 0, 0])[2] += 1
+            return _orig_read(*a, **k)
+
+        def _patched_compile(*a, **k):
+            fam = getattr(tl, "family", "?")
+            fam_stats.setdefault(fam, [0, 0.0, 0, 0])[3] += 1
+            return _orig_compile(*a, **k)
+
+        _jc._cache_read = _patched_read
+        _jc._compile_and_write_cache = _patched_compile
+        _patched = True
+    except Exception:  # pragma: no cover - jax internals moved
+        _patched = False
+
     def run(name, t):
         ts = time.time()
+        tl.family = name
         try:
             t()
         except Exception as exc:  # noqa: BLE001 - collected and reported
             errors.append(exc)
         finally:
-            times.append((time.time() - ts, name))
+            dt = time.time() - ts
+            times.append((dt, name))
+            st = fam_stats.setdefault(name, [0, 0.0, 0, 0])
+            st[0] += 1
+            st[1] += dt
 
     host = [(n, t) for n, _k, t in thunks if n == "host_caches"]
     execs = [(n, t) for n, _k, t in thunks if n.startswith("exec_")]
@@ -748,12 +784,27 @@ def warmup(claim: Dict[str, int], config, max_workers: int | None = None,
     # executing thunks last: their kernel dispatches are now cache hits
     run_lane(execs)
 
+    if _patched:
+        _jc._cache_read = _orig_read
+        _jc._compile_and_write_cache = _orig_compile
+
     if errors:
         log.warning("warmup: %d/%d thunks failed (first: %r)",
                     len(errors), len(thunks), errors[0])
     if log.isEnabledFor(logging.DEBUG):
         for dt, name in sorted(times, reverse=True)[:40]:
             log.debug("  warmup %-18s %6.1f s", name, dt)
-    log.info("warmup: %d thunks in %.1f s (aot=%s)",
-             len(thunks), time.time() - t0, aot)
+    # family breakdown (always at INFO — the driver bench stderr must show
+    # where a fresh process pays: cache loads vs real compiles)
+    for fam, (n, secs, reads, compiles) in sorted(
+            fam_stats.items(), key=lambda kv: -kv[1][1]):
+        if n:
+            log.info("  warmup %-12s %3d thunks %6.1f s  "
+                     "%3d cache loads  %3d compiles", fam, n, secs,
+                     reads, compiles)
+    total_reads = sum(s[2] for s in fam_stats.values())
+    total_compiles = sum(s[3] for s in fam_stats.values())
+    log.info("warmup: %d thunks in %.1f s (aot=%s, %d cache loads, "
+             "%d compiles)", len(thunks), time.time() - t0, aot,
+             total_reads, total_compiles)
     return len(thunks)
