@@ -402,12 +402,6 @@ def build_layout(claim: Dict[str, int], config: PcsConfig) -> SystemLayout:
     return SystemLayout(config, claim, ladder, [tree0, tree1, tree2, tree3], comps)
 
 
-def _is_first_column(log_size: int) -> np.ndarray:
-    col = np.zeros(1 << log_size, np.uint32)
-    col[0] = 1
-    return col
-
-
 def draw_elements(channel: Blake2sChannel) -> Dict[str, LookupElements]:
     """Order matches BrainfuckInteractionElements::draw (mod.rs:158-164)."""
     return {

@@ -156,8 +156,3 @@ def _hash_words_jit(words: jnp.ndarray, n_bytes: int | None) -> jnp.ndarray:
 def digest_to_bytes(digest_words: np.ndarray) -> bytes:
     """(8,) uint32 digest words -> 32-byte digest (little-endian words)."""
     return np.asarray(digest_words, dtype="<u4").tobytes()
-
-
-def bytes_to_words(data: bytes) -> np.ndarray:
-    assert len(data) % 4 == 0
-    return np.frombuffer(data, dtype="<u4").copy()

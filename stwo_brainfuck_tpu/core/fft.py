@@ -56,14 +56,6 @@ def bitrev_int(x: int, bits: int) -> int:
     return r
 
 
-def bit_reverse(values: np.ndarray | jnp.ndarray, axis: int = -1):
-    """Permute an array into/out of bit-reversed order along `axis`
-    (involution)."""
-    n = values.shape[axis]
-    perm = bit_reverse_indices(int(n).bit_length() - 1)
-    return jnp.take(values, jnp.asarray(perm), axis=axis)
-
-
 def _pi(x: np.ndarray) -> np.ndarray:
     """pi(x) = 2x^2 - 1 (host, uint64)."""
     x = np.asarray(x, np.uint64)

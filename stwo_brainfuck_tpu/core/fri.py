@@ -93,23 +93,6 @@ def _fold(values, itw, beta: tuple):
     return _fold_jit(values, jnp.asarray(itw), jnp.asarray(np.array(beta, np.uint32)))
 
 
-def fold_circle(values: jnp.ndarray, beta: tuple, log_size: int) -> jnp.ndarray:
-    return _fold_jit(values, _dev_itw("c", log_size),
-                     jnp.asarray(np.array(beta, np.uint32)))
-
-
-def fold_line(values: jnp.ndarray, beta: tuple, line_log_size: int) -> jnp.ndarray:
-    return _fold_jit(values, _dev_itw("l", line_log_size),
-                     jnp.asarray(np.array(beta, np.uint32)))
-
-
-def _commit_layer(values: jnp.ndarray) -> merkle.MerkleTree:
-    """Merkle-commit a QM31 line layer as its 4 M31 coordinate columns."""
-    n = values.shape[1]
-    log = n.bit_length() - 1
-    return merkle.commit({log: values})
-
-
 @dataclass
 class FriProof:
     layer_roots: List[bytes]

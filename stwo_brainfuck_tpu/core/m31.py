@@ -133,12 +133,6 @@ def pow_const_sq(a: jnp.ndarray, n: int) -> jnp.ndarray:
     return a
 
 
-def batch_inv(a: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise inverse. Fermat pow is fully vectorized and branch-free,
-    which is faster on TPU than a sequential Montgomery trick."""
-    return inv(a)
-
-
 # ---------------------------------------------------------------------------
 # Host-side (numpy, uint64) reference implementations: used by the VM, table
 # builders, the verifier and tests. Bit-identical results to the device path.
@@ -177,7 +171,3 @@ def np_inv(a):
         base = (base * base) % P_INT
         e >>= 1
     return np.where(a == 0, 0, result).astype(np.uint32)
-
-
-def scalar_inv(v: int) -> int:
-    return pow(int(v), P_INT - 2, P_INT) if v % P_INT != 0 else 0

@@ -34,10 +34,6 @@ def from_m31(x) -> jnp.ndarray:
     return jnp.stack([x, z, z, z])
 
 
-def from_ints(a: int, b: int, c: int, d: int) -> jnp.ndarray:
-    return jnp.array([a, b, c, d], jnp.uint32)
-
-
 def zero(shape=()) -> jnp.ndarray:
     return jnp.zeros((4,) + tuple(shape), jnp.uint32)
 
@@ -145,19 +141,6 @@ def pow_const(x: jnp.ndarray, e: int) -> jnp.ndarray:
     if result is None:
         return one(x.shape[1:])
     return result
-
-
-@_inline_jit
-def dot_m31(coeffs: jnp.ndarray, values) -> jnp.ndarray:
-    """Σ_k coeffs[k] · values[k] for QM31 coeffs (shape (K, 4)) and a list of
-    K M31 arrays of a common shape — the LogUp `combine` primitive."""
-    acc = None
-    for k, v in enumerate(values):
-        v = jnp.asarray(v, jnp.uint32)
-        c = jnp.reshape(coeffs[k], (4,) + (1,) * v.ndim)
-        term = m31.mul(c, v[None])
-        acc = term if acc is None else add(acc, term)
-    return acc
 
 
 # ---------------------------------------------------------------------------

@@ -267,6 +267,61 @@ def _bf_inv_packed(x, t, s):
     return jnp.stack([add, sub], axis=1).reshape(sh)
 
 
+# Radix-4 pair-packed butterflies: TWO consecutive stages (strides 2s and s)
+# in one pack/unpack. The slab reshape + 4 slices + one 4-way stack replace
+# two (reshape + 2 slices + 2-way stack) rounds — the Mosaic relayout for
+# the pack/unpack block slices was the named residue between the measured
+# round-4 rate and its op-count prediction (PERF.md §2), and the ALU work
+# (4 muls + 8 folded adds per 4 elements) is unchanged. Twiddle layout:
+# the stride-2s stage's twiddle is constant across the quad (tA4[:, 2]);
+# the stride-s stage has per-half twiddles (tB4[:, 1], tB4[:, 3]).
+
+def _bf_fwd_packed4(x, tA, tB, s):
+    """Forward stages stride 2s then s; `s` is the LOWER stride."""
+    sh = x.shape
+    k = sh[0] // (4 * s)
+    x4 = x.reshape((k, 4, s) + sh[1:])
+    tA4 = tA.reshape((k, 4, s) + tA.shape[1:])
+    tB4 = tB.reshape((k, 4, s) + tB.shape[1:])
+    q0, q1, q2, q3 = x4[:, 0], x4[:, 1], x4[:, 2], x4[:, 3]
+    ta = tA4[:, 2]
+    tb0, tb1 = tB4[:, 1], tB4[:, 3]
+    w2 = _mul_semi(q2, ta)
+    w3 = _mul_semi(q3, ta)
+    a0 = _fold(q0 + w2)
+    a2 = _fold(q0 + (_PC - w2))
+    a1 = _fold(q1 + w3)
+    a3 = _fold(q1 + (_PC - w3))
+    u1 = _mul_semi(a1, tb0)
+    u3 = _mul_semi(a3, tb1)
+    r0 = _fold(a0 + u1)
+    r1 = _fold(a0 + (_PC - u1))
+    r2 = _fold(a2 + u3)
+    r3 = _fold(a2 + (_PC - u3))
+    return jnp.stack([r0, r1, r2, r3], axis=1).reshape(sh)
+
+
+def _bf_inv_packed4(x, tB, tA, s):
+    """Inverse stages stride s then 2s; `s` is the LOWER stride."""
+    sh = x.shape
+    k = sh[0] // (4 * s)
+    x4 = x.reshape((k, 4, s) + sh[1:])
+    tA4 = tA.reshape((k, 4, s) + tA.shape[1:])
+    tB4 = tB.reshape((k, 4, s) + tB.shape[1:])
+    q0, q1, q2, q3 = x4[:, 0], x4[:, 1], x4[:, 2], x4[:, 3]
+    ta = tA4[:, 2]
+    tb0, tb1 = tB4[:, 1], tB4[:, 3]
+    b0 = _fold(q0 + q1)
+    b1 = _mul_semi(_fold(q0 + (_PC - q1)), tb0)
+    b2 = _fold(q2 + q3)
+    b3 = _mul_semi(_fold(q2 + (_PC - q3)), tb1)
+    r0 = _fold(b0 + b2)
+    r2 = _mul_semi(_fold(b0 + (_PC - b2)), ta)
+    r1 = _fold(b1 + b3)
+    r3 = _mul_semi(_fold(b1 + (_PC - b3)), ta)
+    return jnp.stack([r0, r1, r2, r3], axis=1).reshape(sh)
+
+
 # Lane stages 3..6 (strides 8..64 across lanes) take the packed form too,
 # via a per-(128, 128)-block transpose: lane pairs become tile-aligned row
 # pairs, the four stages run packed on the transposed slab, and one
@@ -299,17 +354,29 @@ def _make_pass1(n: int, inverse: bool, scale: int):
 
     def kernel(x_ref, t_ref, o_ref):
         x = x_ref[0]
-        stages = range(n - 1, n - 1 - n1, -1)
+        stages = list(range(n - 1, n - 1 - n1, -1))
         if inverse:
-            stages = reversed(list(stages))
-        for L in stages:
+            stages = stages[::-1]
+        # axis-0 elements are whole (8, 128) tiles: every pass-1 stage takes
+        # the pair-packed form; consecutive stages fuse radix-4
+        i = 0
+        while i < len(stages):
+            L = stages[i]
             k = n - 1 - L
             s1 = 1 << (L - _LOG_LANES - n2)
             t = t_ref[:, :, k:k + 1]
-            # axis-0 elements are whole (8, 128) tiles: every pass-1
-            # stage takes the pair-packed form
+            if i + 1 < len(stages):
+                L2 = stages[i + 1]
+                t2 = t_ref[:, :, n - 1 - L2:n - L2]
+                if inverse:
+                    x = _bf_inv_packed4(x, t, t2, s1)
+                else:
+                    x = _bf_fwd_packed4(x, t, t2, s1 // 2)
+                i += 2
+                continue
             x = _bf_inv_packed(x, t, s1) if inverse else \
                 _bf_fwd_packed(x, t, s1)
+            i += 1
         if scale:
             x = _mul_semi(x, _scale_const(scale))
         o_ref[0] = _canon(x)
@@ -326,16 +393,41 @@ def _make_pass2(n: int, inverse: bool, scale: int):
         riota = jax.lax.broadcasted_iota(jnp.uint32, (A2, _LANES), 0)
         liota = jax.lax.broadcasted_iota(jnp.uint32, (A2, _LANES), 1)
 
-        def row(L, x):
+        def row_t(L):
             j = (_LOG_LANES + n2 - 1) - L
+            return tr_ref[0, :, j:j + 1]
+
+        def row(L, x):
             s = 1 << (L - _LOG_LANES)
-            t = tr_ref[0, :, j:j + 1]
+            t = row_t(L)
             if s >= _SUB:  # tile-aligned row stride: pair-packed form
                 return _bf_inv_packed(x, t, s) if inverse else \
                     _bf_fwd_packed(x, t, s)
             sel = (riota & np.uint32(s)) == 0
             return _bf_inv(x, t, s, sel, 0) if inverse else \
                 _bf_fwd(x, t, s, sel, 0)
+
+        def rows(Ls, x):
+            """Ordered row stages, radix-4 fusing adjacent pairs whose
+            LOWER stride is still tile-aligned (>= _SUB rows)."""
+            i = 0
+            while i < len(Ls):
+                L = Ls[i]
+                s = 1 << (L - _LOG_LANES)
+                if i + 1 < len(Ls):
+                    lower = min(s, 1 << (Ls[i + 1] - _LOG_LANES))
+                    if lower >= _SUB:
+                        if inverse:
+                            x = _bf_inv_packed4(x, row_t(L), row_t(Ls[i + 1]),
+                                                s)
+                        else:
+                            x = _bf_fwd_packed4(x, row_t(L), row_t(Ls[i + 1]),
+                                                s // 2)
+                        i += 2
+                        continue
+                x = row(L, x)
+                i += 1
+            return x
 
         def lane(L, x):
             s = 1 << L
@@ -344,12 +436,25 @@ def _make_pass2(n: int, inverse: bool, scale: int):
             return _bf_inv(x, t, s, sel, 1) if inverse else \
                 _bf_fwd(x, t, s, sel, 1)
 
-        def lane_packed(L, xt):
-            # xt is the block-transposed slab; tl plane L is pre-transposed
-            s = 1 << L
-            t = tl_ref[0, L]
-            return _bf_inv_packed(xt, t, s) if inverse else \
-                _bf_fwd_packed(xt, t, s)
+        def lanes_packed(Ls, xt):
+            """Block-transposed lane stages (pre-transposed tl planes),
+            radix-4 fusing adjacent pairs."""
+            i = 0
+            while i < len(Ls):
+                L = Ls[i]
+                if i + 1 < len(Ls):
+                    t1, t2 = tl_ref[0, L], tl_ref[0, Ls[i + 1]]
+                    if inverse:
+                        xt = _bf_inv_packed4(xt, t1, t2, 1 << L)
+                    else:
+                        xt = _bf_fwd_packed4(xt, t1, t2, 1 << Ls[i + 1])
+                    i += 2
+                    continue
+                t = tl_ref[0, L]
+                xt = _bf_inv_packed(xt, t, 1 << L) if inverse else \
+                    _bf_fwd_packed(xt, t, 1 << L)
+                i += 1
+            return xt
 
         T = _lane_transposed(n2)
         if inverse:
@@ -357,18 +462,15 @@ def _make_pass2(n: int, inverse: bool, scale: int):
                 x = lane(L, x)
             if T:
                 x = _blocks_T(x)
-                for L in range(_LANE_T_MIN, _LOG_LANES):
-                    x = lane_packed(L, x)
+                x = lanes_packed(list(range(_LANE_T_MIN, _LOG_LANES)), x)
                 x = _blocks_T(x)
-            for L in range(_LOG_LANES, _LOG_LANES + n2):
-                x = row(L, x)
+            x = rows(list(range(_LOG_LANES, _LOG_LANES + n2)), x)
         else:
-            for L in range(_LOG_LANES + n2 - 1, _LOG_LANES - 1, -1):
-                x = row(L, x)
+            x = rows(list(range(_LOG_LANES + n2 - 1, _LOG_LANES - 1, -1)), x)
             if T:
                 x = _blocks_T(x)
-                for L in range(_LOG_LANES - 1, _LANE_T_MIN - 1, -1):
-                    x = lane_packed(L, x)
+                x = lanes_packed(
+                    list(range(_LOG_LANES - 1, _LANE_T_MIN - 1, -1)), x)
                 x = _blocks_T(x)
             for L in range((_LANE_T_MIN if T else _LOG_LANES) - 1, -1, -1):
                 x = lane(L, x)

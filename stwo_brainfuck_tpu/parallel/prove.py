@@ -191,13 +191,6 @@ def _sharded_constraints_fn(mesh: Mesh, cls, log_size: int):
     return fn, comp.constraint_count()
 
 
-@lru_cache(maxsize=8)
-def _weighted_fn(mesh: Mesh):
-    return jax.jit(shard_map(_weighted_step, mesh=mesh,
-                             in_specs=(P(None, ROW_AXIS), P(None, None)),
-                             out_specs=P(None, ROW_AXIS), check_vma=False))
-
-
 def _weighted_step(cols, weights):
     prods = m31.mul(weights.T[:, :, None], cols[None, :, :])  # (4, C, n)
     acc = prods
@@ -222,13 +215,6 @@ def _point_group_step(wf, a_const, b_const, dy, dx, vc, px, py):
         c(vc),
     )
     return qm31.mul(num, qm31.inv(van))
-
-
-@lru_cache(maxsize=8)
-def _point_group_fn(mesh: Mesh):
-    specs = (P(None, ROW_AXIS),) + (P(None),) * 5 + (P(ROW_AXIS), P(ROW_AXIS))
-    return jax.jit(shard_map(_point_group_step, mesh=mesh, in_specs=specs,
-                             out_specs=P(None, ROW_AXIS), check_vma=False))
 
 
 @lru_cache(maxsize=32)
@@ -499,17 +485,6 @@ class ShardedOps:
         return out, alpha_offset + n_cons
 
     # -- Quotients ---------------------------------------------------------
-
-    def weighted_columns(self, cols: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
-        if not self._shardable(int(cols.shape[-1]).bit_length() - 1):
-            return quotients._weighted_columns(cols, weights)
-        return _weighted_fn(self.mesh)(cols, weights)
-
-    def point_group_quotient(self, wf, a_const, b_const, dy, dx, vc, px, py):
-        if not self._shardable(int(px.shape[-1]).bit_length() - 1):
-            return quotients._point_group_quotient(
-                wf, a_const, b_const, dy, dx, vc, px, py)
-        return _point_group_fn(self.mesh)(wf, a_const, b_const, dy, dx, vc, px, py)
 
     def accumulate_all(self, log_size: int, cols: tuple, consts, w,
                        idx_groups: tuple):
