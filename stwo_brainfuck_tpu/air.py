@@ -538,6 +538,8 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
             main_cols.append((comp.log_size, dev_tabs[comp.name][col]))
     log.debug("  main uploads issued")
     tree1 = TreeProver(main_cols, config, chan, ops=ops)
+    if dc is not None and layout.composition_log >= BIG_SYNC_LOG:
+        jax.block_until_ready(tree1.tree.layers[0])
     log.debug("  main tree committed")
 
     log.info("Phase 2: interaction trace")
@@ -557,6 +559,15 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
         for q in inter:
             for c in range(4):
                 inter_cols.append((comp.log_size, RowRef(q, c)))
+    # Near-capacity queue discipline: the device-transcript path defers all
+    # pulls, so the relay would otherwise pin the ENTIRE phase-2..FRI
+    # pipeline's args/outputs in HBM at once — big22 (2^22 tables, 2^24
+    # composition commit) runtime-OOMs the 15.75 GiB chip that way while
+    # every phase fits alone. For claims whose composition domain reaches
+    # BIG_SYNC_LOG, drain the dispatch queue at each phase boundary
+    # (~45 ms each; never hit by the reference programs — fib19 tops at
+    # 2^20).
+    big_sync = layout.composition_log >= BIG_SYNC_LOG
     iclaim: Optional[Dict[str, tuple]] = None
     if dc is not None:
         # claimed sums stay on device (pulled in sync A; the LogUp balance
@@ -572,6 +583,8 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
             raise ProvingError("LogUp sum does not cancel — invalid trace")
         mix_interaction_claim(channel, iclaim)
     tree2 = TreeProver(inter_cols, config, chan, ops=ops)
+    if dc is not None and big_sync:
+        jax.block_until_ready(tree2.tree.layers[0])
     # Free the trace-domain buffers: the main-table upload matrices (only
     # the interaction build reads them) and the raw interaction QM31 rows
     # (their coeffs/extensions live in tree2.records). Everything after
@@ -656,6 +669,7 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
                             else _acc_sum_jit(tuple(arrs)), lg)
             for lg, arrs in sorted(acc.items()))
         comp_evals = _combine_eval(coeffs_list, comp_log)
+        del coeffs_list
     else:
         # fused mesh analog: per-size sums + sharded interpolates + pad-add
         # + the composition-domain evaluate in ONE executable
@@ -663,6 +677,12 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
     tree3 = TreeProver(
         [(comp_log, RowRef(comp_evals, c)) for c in range(4)],
         config, chan, ops=ops)
+    # the raw contributions and the trace-domain composition evaluation are
+    # consumed by the interpolations / tree3's extend — on big22 they pin
+    # ~0.5 GiB through the rest of the prove otherwise
+    del acc, comp_evals
+    if dc is not None and big_sync:
+        jax.block_until_ready(tree3.tree.layers[0])
 
     trees = [tree0, tree1, tree2, tree3]
 
@@ -679,6 +699,15 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
         for members, (b_lo, b_hi) in zip(groups.values(), bases):
             rows = tuple(trees[ti].records[ci].coeffs for ti, ci, _ in members)
             garrs.append(poly._sample_tensor_jit(rows, b_lo, b_hi))
+        if big_sync:
+            jax.block_until_ready(garrs)
+            # the coefficient matrices exist only to be OODS-sampled; on
+            # near-capacity claims they pin ~1.3 GiB through quotients/FRI
+            # (tree0's are process-cached and stay — every later prove
+            # samples them)
+            for t in (tree1, tree2, tree3):
+                for rec in t.records:
+                    rec.coeffs = None
         dc.mix_chain(tuple(garrs), mix_spec)
         sampled = None
     else:
@@ -714,6 +743,8 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
             px, py = quotients._dev_points(size)
             fri_inputs[size] = quotients._accumulate_all_jit(
                 tuple(size_cols[size]), consts, w, px, py, idx_groups)
+            if big_sync and size >= BIG_SYNC_LOG:
+                jax.block_until_ready(fri_inputs[size])
     else:
         alpha_q = channel.draw_felt()
         claims_by_size: Dict[int, List[Tuple[jnp.ndarray, List[quotients.QuotientClaim]]]] = {}
@@ -738,12 +769,16 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
             )
 
     log.info("FRI")
+    s_max = max(fri_inputs)
     if dc is not None:
         from .core import blake2s
         from .utils.transfer import pull_all
 
         fri_prover, fri_roots, fri_cur, digest = fri.fri_commit_async(
-            fri_inputs, beta0_dev, dc.digest)
+            fri_inputs, beta0_dev, dc.digest,
+            sync_log=(BIG_SYNC_LOG - 2 if big_sync else None))
+        if big_sync:
+            fri_inputs = None  # injected/folded; frees ~0.5 GiB on big22
 
         # ---- sync A: the ONE mid-prove pull — phase roots, claimed sums,
         # sampled values, FRI layer roots + last value, final digest ----
@@ -773,7 +808,6 @@ def _prove_tables(tabs, config: Optional[PcsConfig] = None, mesh=None,
     log.info("PoW + queries")
     nonce = channel.grind_pow(config.pow_bits)
     channel.mix_u64(nonce)
-    s_max = max(fri_inputs)
     queries = channel.draw_queries(config.n_queries, s_max)
 
     log.info("Decommitment")

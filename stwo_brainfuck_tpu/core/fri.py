@@ -243,7 +243,7 @@ def fri_commit(inputs: Dict[int, jnp.ndarray], channel, ops=None) -> FriProver:
 
 
 def fri_commit_async(inputs: Dict[int, jnp.ndarray], beta0_dev: jnp.ndarray,
-                     digest: jnp.ndarray):
+                     digest: jnp.ndarray, sync_log: int | None = None):
     """Device-channel fri_commit: the whole commit phase (folds, layer
     commits, root->beta transcript chain, the last-layer mix) is async
     dispatches against a DEVICE digest; NOTHING is pulled here. Returns
@@ -276,6 +276,11 @@ def fri_commit_async(inputs: Dict[int, jnp.ndarray], beta0_dev: jnp.ndarray,
         layer_evals.append(cur)
         layer_levels.append(m)
         digest, beta, beta2 = _mix_draw2_jit(digest, tree.layers[0][0])
+        if sync_log is not None and m >= sync_log:
+            # near-capacity queue drain (air.py BIG_SYNC_LOG): the first
+            # layers' folds/commits read multi-GB inputs; without a sync the
+            # relay pins them all in HBM at once
+            jax.block_until_ready(digest)
         if m - 1 > LOG_LAST_LAYER and m not in inputs:
             cur = _fold2_jit(cur, _dev_itw("l", m), _dev_itw("l", m - 1),
                              beta, beta2)
