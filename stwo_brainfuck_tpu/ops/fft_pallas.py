@@ -49,7 +49,22 @@ from .m31_pallas import _on_tpu
 _LANES = 128
 _LOG_LANES = 7
 _MAX_LOG_A2 = 9     # pass-2 slab: up to (512, 128) = 256 KB in VMEM
-_SUB = 8            # pass-1 a2-chunk (one sublane tile)
+_SUB = 8            # pass-2 packed-form row-stride floor (one sublane tile)
+
+
+def _sub1(n: int) -> int:
+    """Pass-1 a2-chunk (rows of the (A1, sub, 128) slab per grid step).
+    Round 5 measurement (PERF.md §2): with the original fixed chunk of 8
+    rows, n=18 pass 1 ran 512 grid steps of 16 KB / 2 stages each and
+    sustained only 24 G butterflies/s (≈98 implied ALU-op equivalents per
+    element-stage at the measured 4.7 T op/s VPU ceiling) while pass 2's
+    32 steps of 256 KB ran at 104 G — the per-step DMA/prologue overhead
+    dominated, not the butterfly math. Size the chunk so one block is
+    ~512 KB (A1·sub·128·4 B), clamped to [8, A2]."""
+    A1, A2, _, _ = _plan(n)
+    target = max(1, (1 << 19) // (A1 * _LANES * 4))
+    sub = 1 << max(3, target.bit_length() - 1)
+    return min(sub, A2)
 # MAX_LOG 24 covers the near-capacity workloads' FULL transform set: a 2^22
 # table extends to 2^23, and the composition polynomial of 2^22-row
 # components lives at 2^23 and COMMITS at 2^24 (big22's tree3 extend — the
@@ -487,17 +502,18 @@ def _pass1_call(x4, twr1, n, inverse, scale, interpret):
 
     C, A1, A2, _ = x4.shape
     n1 = twr1.shape[-1]
+    sub = _sub1(n)
     return pl.pallas_call(
         _make_pass1(n, inverse, scale),
         out_shape=jax.ShapeDtypeStruct(x4.shape, jnp.uint32),
-        grid=(A2 // _SUB, C),
+        grid=(A2 // sub, C),
         in_specs=[
-            pl.BlockSpec((1, A1, _SUB, _LANES), lambda i, c: (c, 0, i, 0),
+            pl.BlockSpec((1, A1, sub, _LANES), lambda i, c: (c, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((A1, _SUB, n1), lambda i, c: (0, i, 0),
+            pl.BlockSpec((A1, sub, n1), lambda i, c: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, A1, _SUB, _LANES), lambda i, c: (c, 0, i, 0),
+        out_specs=pl.BlockSpec((1, A1, sub, _LANES), lambda i, c: (c, 0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x4, twr1)
