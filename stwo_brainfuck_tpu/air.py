@@ -361,7 +361,25 @@ LOG_MAX_ROWS_CAP = 24
 BIG_SYNC_LOG = 23
 
 
+# (sorted claim items, config fields) -> SystemLayout. The layout is pure
+# structure (ColumnMeta lists + stateless Component instances); rebuilding it
+# cost ~6 ms of every verify. Capacity refusals raise before insertion, so
+# errors are re-raised fresh each call.
+_LAYOUT_CACHE: Dict[tuple, SystemLayout] = {}
+
+
 def build_layout(claim: Dict[str, int], config: PcsConfig) -> SystemLayout:
+    key = (tuple(sorted(claim.items())), config.log_blowup, config.n_queries,
+           config.pow_bits, config.log_max_rows)
+    cached = _LAYOUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    layout = _build_layout(claim, config)
+    _LAYOUT_CACHE[key] = layout
+    return layout
+
+
+def _build_layout(claim: Dict[str, int], config: PcsConfig) -> SystemLayout:
     comps = [cls(claim[cls.name]) for cls in COMPONENT_CLASSES]
     max_log = max(claim.values())
     top = config.log_max_rows if config.log_max_rows else max_log

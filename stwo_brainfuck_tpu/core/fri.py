@@ -500,66 +500,116 @@ def fri_verify_queries(
             raise FriVerificationError(f"layer {li} merkle: {exc}")
         layer_vals.append(vals)
 
-    def inject_val(m, pos, cur):
-        """Add the circle-size m+1 injection at line position pos, if any."""
+    # Batched walk: every query's fold chain follows the SAME layer sequence
+    # (the per-query control flow depends only on max_log), so the whole walk
+    # runs as (4, n_queries) numpy QM31 arrays — the per-query scalar-tuple
+    # loop was the largest remaining verify cost (~20 ms on a deep proof).
+    # Inputs are reduced mod p up front (the scalar ops reduced at every
+    # step, which is equivalent for mod-p arithmetic).
+    qs = np.asarray(list(queries), np.int64)
+    nq = len(qs)
+    if nq == 0:
+        return
+    beta0_b = qm31.npq_const(tuple(v % P_INT for v in beta0), nq)
+
+    # Proof-supplied values must be CANONICAL (< p): the scalar walk compared
+    # them unreduced against always-reduced folds, so a non-canonical alias
+    # (v + p) failed the fold-mismatch check — reducing on load would
+    # silently accept it (proof malleability). Validate instead of reduce.
+    layer_pos: List[np.ndarray] = []
+    layer_arr: List[np.ndarray] = []
+    for li, vals in enumerate(layer_vals):
+        ps = np.array(sorted(vals), np.int64)
+        if any(not (0 <= v < P_INT) for p in vals for v in vals[p]):
+            raise FriVerificationError(f"layer {li}: non-canonical value")
+        layer_pos.append(ps)
+        layer_arr.append(np.array(
+            [[vals[int(p)][k] for p in ps] for k in range(4)], np.uint64))
+    if any(not (0 <= v < P_INT) for v in proof.last_layer_value):
+        raise FriVerificationError("non-canonical last layer value")
+
+    def batch_input(m, pos_arr):
+        """(4, nq) combined-quotient values of circle-size m, or None."""
+        if input_values_fn(m, int(pos_arr[0])) is None:
+            return None
+        return np.array(
+            [[input_values_fn(m, int(p))[k] % P_INT for p in pos_arr]
+             for k in range(4)], np.uint64)
+
+    def circ_itw(m, t_arr):
+        return np.array([_circle_itw_host(m, int(t)) for t in t_arr],
+                        np.uint64)
+
+    def line_itw(m, t_arr):
+        return np.array([_line_itw_host(m, int(t)) for t in t_arr],
+                        np.uint64)
+
+    def np_fold(a, b, beta, itw_arr):
+        s = ((a + b) % P_INT) * _INV2 % P_INT
+        d = ((a + (P_INT - b)) % P_INT) * itw_arr % P_INT
+        return qm31.npq_add(s, qm31.npq_mul(beta, d))
+
+    def inject(m, pos_arr, cur):
+        """Add the circle-size m+1 injections at line positions, if any."""
         if m + 1 == max_log:
             return cur
-        a = input_values_fn(m + 1, 2 * pos)
+        a = batch_input(m + 1, 2 * pos_arr)
         if a is None:
             return cur
-        b = input_values_fn(m + 1, 2 * pos + 1)
-        inj = _host_fold(a, b, beta0, _circle_itw_host(m + 1, pos))
-        return qm31.h_add(cur, inj)
+        b = batch_input(m + 1, 2 * pos_arr + 1)
+        return qm31.npq_add(cur, np_fold(a, b, beta0_b,
+                                         circ_itw(m + 1, pos_arr)))
 
-    # walk each query
-    for q in queries:
-        # first circle fold at max_log
-        pos = q & ~1
-        a = input_values_fn(max_log, pos)
-        b = input_values_fn(max_log, pos | 1)
-        cur = _host_fold(a, b, beta0, _circle_itw_host(max_log, pos >> 1))
-        m = max_log - 1
-        pos >>= 1
-        li = 0
-        while m > LOG_LAST_LAYER:
-            cur = inject_val(m, pos, cur)
-            vals = layer_vals[li]
-            if vals.get(pos) != cur:
-                raise FriVerificationError(f"fold mismatch at layer {li} pos {pos}")
-            beta = betas[li]
-            quad = pos & ~3
-            try:
-                a0, a1, a2, a3 = (vals[quad + j] for j in range(4))
-            except KeyError:
-                raise FriVerificationError(f"layer {li}: missing quad values")
-            t0 = quad >> 1
-            u0 = _host_fold(a0, a1, beta, _line_itw_host(m, t0))
-            u1 = _host_fold(a2, a3, beta, _line_itw_host(m, t0 + 1))
-            p1 = pos >> 1
-            if m - 1 == LOG_LAST_LAYER:
-                # single-fold tail
-                cur = u0 if p1 % 2 == 0 else u1
-                pos = p1
-                m -= 1
-                li += 1
-                continue
-            # mid injection at level m-1 on both half values
-            u0 = inject_val(m - 1, t0, u0)
-            u1 = inject_val(m - 1, t0 + 1, u1)
-            beta2 = qm31.h_mul(beta, beta)
-            cur = _host_fold(u0, u1, beta2, _line_itw_host(m - 1, t0 >> 1))
-            pos = pos >> 2
-            m -= 2
+    pos = qs & ~np.int64(1)
+    a = batch_input(max_log, pos)
+    b = batch_input(max_log, pos | 1)
+    cur = np_fold(a, b, beta0_b, circ_itw(max_log, pos >> 1))
+    m = max_log - 1
+    pos = pos >> 1
+    li = 0
+    while m > LOG_LAST_LAYER:
+        cur = inject(m, pos, cur)
+        ps, va = layer_pos[li], layer_arr[li]
+        idx = np.searchsorted(ps, pos)
+        if np.any(idx >= len(ps)) or np.any(ps[np.minimum(idx, len(ps) - 1)]
+                                            != pos):
+            raise FriVerificationError(f"layer {li}: missing fold position")
+        mism = (va[:, idx] != cur).any(axis=0)
+        if mism.any():
+            bad = int(pos[int(np.nonzero(mism)[0][0])])
+            raise FriVerificationError(f"fold mismatch at layer {li} pos {bad}")
+        beta = qm31.npq_const(tuple(v % P_INT for v in betas[li]), nq)
+        quad = pos & ~np.int64(3)
+        iq = np.searchsorted(ps, quad)
+        if np.any(iq + 3 >= len(ps)) or np.any(ps[iq] != quad) \
+                or np.any(ps[iq + 3] != quad + 3):
+            raise FriVerificationError(f"layer {li}: missing quad values")
+        a0, a1, a2, a3 = va[:, iq], va[:, iq + 1], va[:, iq + 2], va[:, iq + 3]
+        t0 = quad >> 1
+        u0 = np_fold(a0, a1, beta, line_itw(m, t0))
+        u1 = np_fold(a2, a3, beta, line_itw(m, t0 + 1))
+        p1 = pos >> 1
+        if m - 1 == LOG_LAST_LAYER:
+            # single-fold tail
+            cur = np.where(((p1 & 1) == 0)[None, :], u0, u1)
+            pos = p1
+            m -= 1
             li += 1
-        cur = inject_val(m, pos, cur)
-        if cur != proof.last_layer_value:
-            raise FriVerificationError(f"last layer mismatch at query {q}")
-
-
-def _host_fold(a: tuple, b: tuple, beta: tuple, itw: int) -> tuple:
-    s = qm31.h_mul(qm31.h_add(a, b), (_INV2, 0, 0, 0))
-    d = qm31.h_mul(qm31.h_sub(a, b), (itw, 0, 0, 0))
-    return qm31.h_add(s, qm31.h_mul(beta, d))
+            continue
+        # mid injection at level m-1 on both half values
+        u0 = inject(m - 1, t0, u0)
+        u1 = inject(m - 1, t0 + 1, u1)
+        beta2 = qm31.npq_mul(beta, beta)
+        cur = np_fold(u0, u1, beta2, line_itw(m - 1, t0 >> 1))
+        pos = pos >> 2
+        m -= 2
+        li += 1
+    cur = inject(m, pos, cur)
+    llv = np.array(list(proof.last_layer_value), np.uint64)[:, None]
+    mism = (cur != llv).any(axis=0)
+    if mism.any():
+        bad = int(qs[int(np.nonzero(mism)[0][0])])
+        raise FriVerificationError(f"last layer mismatch at query {bad}")
 
 
 @lru_cache(maxsize=1 << 14)

@@ -270,12 +270,27 @@ class Component:
     def n_main_columns(self) -> int:
         return len(self.columns)
 
+    # (class, log_size) -> (n_relations, n_constraints). The counts are
+    # structural, but verify_brainfuck rebuilds the layout per call and the
+    # dry-run evaluator costs ~0.4 ms per component — ~10 ms of a ~60 ms
+    # verify before this cache.
+    _count_cache: Dict[tuple, Tuple[int, int]] = {}
+
+    def _counts(self) -> Tuple[int, int]:
+        key = (type(self), self.log_size)
+        c = Component._count_cache.get(key)
+        if c is None:
+            e = self._dry_run()
+            c = (len(e.relations), len(e.constraints))
+            Component._count_cache[key] = c
+        return c
+
     def relation_count(self) -> int:
         """Number of LogUp relation entries (dry run with dummies)."""
-        return len(self._dry_run().relations)
+        return self._counts()[0]
 
     def constraint_count(self) -> int:
-        return len(self._dry_run().constraints)
+        return self._counts()[1]
 
     @property
     def n_interaction_columns(self) -> int:
