@@ -895,7 +895,13 @@ def transcript_specs(layout: SystemLayout):
     - qspec: per-size point-group spec (devchan._quot_consts_jit)
     - size_order / size_shifts: commitment sizes in first-encounter order
       and each size's per-column shift tuples (the idx_groups structure)
+
+    Pure per layout; cached on the (cached) layout instance — the walk cost
+    ~10 ms of every warm prove.
     """
+    cached = getattr(layout, "_transcript_specs", None)
+    if cached is not None:
+        return cached
     from .framework.component import weight_spec
 
     comps = layout.components
@@ -940,7 +946,10 @@ def transcript_specs(layout: SystemLayout):
         (size - blow, tuple((s, gi, tuple(idxs))
                             for s, (gi, idxs) in size_groups[size].items()))
         for size in size_order)
-    return wspec, groups, member_pos, mix_spec, qspec, size_order, size_shifts
+    specs = (wspec, groups, member_pos, mix_spec, qspec, size_order,
+             size_shifts)
+    layout._transcript_specs = specs
+    return specs
 
 
 def sampling_plan(layout: SystemLayout) -> Dict[tuple, list]:
