@@ -375,6 +375,14 @@ def main() -> int:
                                          warm_seen)
             except Exception as exc:  # e.g. capacity refusal
                 results[p] = {"error": f"{type(exc).__name__}: {exc}"[:160]}
+            # The chip is time-shared: a near-capacity attempt (big22) that
+            # finishes or OOMs under co-tenant HBM pressure must not leave
+            # ~2 GiB of big twiddle/point/ladder caches pinned while the
+            # small programs run (measured 2026-08-20: a big22 OOM cascaded
+            # RESOURCE_EXHAUSTED through the whole remaining suite).
+            if p == "big22" or "ResourceExhausted" in results[p].get(
+                    "error", ""):
+                air.release_device_caches()
             print(f"# {p}: {results[p]}", file=sys.stderr, flush=True)
         # capacity refusal, measured by execution (not hardcoded)
         if remaining() >= RESERVE_S["sierpinski"]:

@@ -200,6 +200,40 @@ def _preprocessed_tree(ladder: tuple, log_blowup: int) -> TreeProver:
     ]
     return TreeProver.from_records(records, cfg)
 
+def release_device_caches(min_log: int = 18) -> None:
+    """Drop device-resident PROCESS caches at or above 2^min_log: Pallas FFT
+    twiddle tables (the n=22-24 set alone is ~1.5 GiB), staged-XLA twiddle
+    stacks, quotient domain points, FRI fold twiddles, rotation/vanishing
+    arrays, coset permutations, and the cached preprocessed-ladder tree
+    (merkle layers + extended columns of the big ladder).
+
+    Why: the TPU chip is time-shared and its free HBM fluctuates with
+    co-tenants. A near-capacity prove (big22) that finishes OR dies with
+    RESOURCE_EXHAUSTED leaves these caches pinned for the process lifetime;
+    measured 2026-08-20, a big22 OOM under co-tenant pressure then cascaded
+    RESOURCE_EXHAUSTED through every SMALL program in the same bench process
+    (each needs only ~100 MB). bench.py calls this after the big22 attempt
+    (either outcome) and after any OOM-failed program. Cost when the big
+    sizes are needed again: re-upload/rebuild from cached executables."""
+    from .core import fft as _fft_mod, fri as _fri_mod
+    from .core import quotients as _q_mod
+    from .framework import component as _fw
+    from .ops import fft_pallas as _fp
+
+    def drop(d, pred):
+        for k in [k for k in d if pred(k)]:
+            del d[k]
+
+    drop(_fp._DEV_TABLES, lambda k: k[0] >= min_log)
+    drop(_fft_mod._DEV_TW_CACHE, lambda k: k >= min_log)
+    drop(_q_mod._DEV_POINTS, lambda k: k >= min_log)
+    drop(_fri_mod._DEV_ITW, lambda k: k[1] >= min_log)
+    drop(_fw._DEV_PERM_CACHE, lambda k: k >= min_log)
+    drop(_DEV_VINV, lambda k: k[1] >= min_log)
+    drop(_DEV_ROT, lambda k: k[0] + k[1] >= min_log)
+    _preprocessed_tree.cache_clear()
+
+
 N_TREES = 4  # preprocessed, main, interaction, composition
 
 
